@@ -1,0 +1,87 @@
+"""Benchmark: BEV forecasts/sec/chip (past 1 s -> future 2 s).
+
+Runs the flagship-shape forward pass on the attached accelerator and prints
+ONE JSON line.  Baseline target: >=10 forecasts/s/chip on TPU v5e
+(BASELINE.md).  Preset via STREAMINGFLOW_BENCH_PRESET:
+
+* ``full`` (default): reference dimensions — EfficientNet-B4 over 6 cameras
+  at 224x480, spconv8x LiDAR at 0.0625 m over 1600^2x41, 200x200 BEV,
+  variable-step GRU-ODE, 4 future frames at 0.5 s.
+* ``tiny``: the CPU-testable miniature (smoke/debug).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def full_cfg():
+    from streamingflow_tpu.config import Config
+    cfg = Config()
+    cfg.TIME_RECEPTIVE_FIELD = 3
+    cfg.N_FUTURE_FRAMES = 4
+    cfg.MODEL.MODALITY.USE_CAMERA = True
+    cfg.MODEL.MODALITY.USE_LIDAR = True
+    cfg.MODEL.FUTURE_PRED.USE_VARIABLE_ODE_STEP = True
+    cfg.MODEL.IMPUTE = True
+    cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED = False
+    cfg.SEMANTIC_SEG.HDMAP.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    return cfg
+
+
+def main():
+    preset = os.environ.get('STREAMINGFLOW_BENCH_PRESET', 'full')
+    n_points = int(os.environ.get('STREAMINGFLOW_BENCH_POINTS', '80000'))
+    reps = int(os.environ.get('STREAMINGFLOW_BENCH_REPS', '10'))
+
+    from streamingflow_tpu.data import make_batch, tiny_config
+    from streamingflow_tpu.models import StreamingFlow
+    from streamingflow_tpu.training.trainer import batch_to_model_args
+
+    if preset == 'tiny':
+        from streamingflow_tpu.data import tiny_config
+        cfg = tiny_config()
+        cfg.MODEL.MODALITY.USE_LIDAR = True
+        n_points = min(n_points, 2048)
+    else:
+        cfg = full_cfg()
+
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=1, n_points=n_points).items()}
+    args = batch_to_model_args(batch, cfg)
+    model = StreamingFlow(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        {'params': key, 'dropout': key, 'sample': key}, **args)
+
+    @jax.jit
+    def forward(a):
+        out = model.apply(variables, **a,
+                          rngs={'sample': jax.random.PRNGKey(0)})
+        return out['segmentation']
+
+    # warmup / compile
+    forward(args)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = forward(args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    value = 1.0 / dt
+
+    print(json.dumps({
+        'metric': 'BEV forecasts/sec/chip (past-1s->future-2s)',
+        'value': round(value, 3),
+        'unit': 'forecasts/s',
+        'vs_baseline': round(value / 10.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

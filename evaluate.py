@@ -1,0 +1,131 @@
+"""Standard evaluation: IoU / PQ (VPQ) / planning metrics over validation.
+
+TPU-native counterpart of reference evaluate.py:30-350 — restores a
+checkpoint, runs the jitted forward over the val split, applies the
+host-side instance post-processing, and prints the metric table.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_eval_parser():
+    parser = argparse.ArgumentParser(description='StreamingFlow-TPU evaluation')
+    parser.add_argument('--checkpoint', default=None,
+                        help='checkpoint directory (LOG_DIR/TAG/checkpoints)')
+    parser.add_argument('--dataroot', default=None)
+    parser.add_argument('--version', default=None,
+                        help="dataset version, e.g. 'mini' or 'trainval'")
+    parser.add_argument('--future-frames', type=int, default=None,
+                        help='override N_FUTURE_FRAMES (horizon sweep)')
+    parser.add_argument('--batch-size', type=int, default=1)
+    parser.add_argument('--config-file', default='')
+    parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
+    return parser
+
+
+def build_eval_state(args, cfg_mutator=None):
+    from streamingflow_tpu.config import get_cfg
+    from streamingflow_tpu.training import trainer as TR
+    from streamingflow_tpu.training.checkpoint import CheckpointManager
+
+    if args.checkpoint:
+        ckpt = CheckpointManager(args.checkpoint)
+        cfg = ckpt.load_cfg()
+    else:
+        ckpt = None
+        cfg = get_cfg(args)
+    if args.dataroot:
+        cfg.DATASET.DATAROOT = args.dataroot
+    if args.version:
+        cfg.DATASET.VERSION = args.version
+    if args.future_frames is not None:
+        cfg.N_FUTURE_FRAMES = args.future_frames
+    cfg.BATCHSIZE = args.batch_size
+    if cfg_mutator is not None:
+        cfg_mutator(cfg)
+    return cfg, ckpt
+
+
+def run_eval(cfg, ckpt, short_interval: bool = False):
+    from streamingflow_tpu.data.dataloader import prepare_dataloaders
+    from streamingflow_tpu.postprocess import (
+        predict_instance_segmentation_and_trajectories)
+    from streamingflow_tpu.training import trainer as TR
+    from streamingflow_tpu.training.metrics import (IntersectionOverUnion,
+                                                    PanopticMetric)
+
+    _, valloader = prepare_dataloaders(cfg)
+    n_classes = len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS)
+    metric_vehicle = IntersectionOverUnion(n_classes)
+    metric_panoptic = PanopticMetric(n_classes=n_classes)
+    metric_pedestrian = (IntersectionOverUnion(n_classes)
+                         if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED else None)
+
+    state = None
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    eval_fwd = None
+    t_fwd = []
+
+    for i, batch_np in enumerate(valloader):
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if isinstance(v, np.ndarray)}
+        if state is None:
+            state = TR.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+            if ckpt is not None and ckpt.latest_step() is not None:
+                state = ckpt.restore(state)
+            eval_fwd = jax.jit(
+                lambda s, b: TR.eval_forward(s, b, cfg))
+        labels = TR.prepare_future_labels(batch, cfg)
+
+        t0 = time.time()
+        output = eval_fwd(state, batch)
+        jax.block_until_ready(output['segmentation'])
+        t_fwd.append(time.time() - t0)
+
+        seg_pred = np.argmax(np.asarray(output['segmentation']), axis=-1)
+        seg_label = np.asarray(labels['segmentation'])[..., 0]
+        metric_vehicle.update(seg_pred[:, rf - 1:], seg_label[:, rf - 1:])
+
+        if metric_pedestrian is not None:
+            ped_pred = np.argmax(np.asarray(output['pedestrian']), axis=-1)
+            ped_label = np.asarray(labels['pedestrian'])[..., 0]
+            metric_pedestrian.update(ped_pred[:, rf - 1:],
+                                     ped_label[:, rf - 1:])
+
+        consistent = predict_instance_segmentation_and_trajectories(
+            {k: np.asarray(v) for k, v in output.items()
+             if v is not None and k in ('segmentation', 'instance_center',
+                                        'instance_offset', 'instance_flow')},
+            short_interval=short_interval)
+        metric_panoptic.update(consistent[:, rf - 1:],
+                               np.asarray(labels['instance'])[:, rf - 1:])
+
+    results = {'iou': metric_vehicle.compute(),
+               'pq': metric_panoptic.compute()}
+    print('==== evaluation results ====')
+    print(f"vehicle IoU: {results['iou']}")
+    for k, v in results['pq'].items():
+        print(f'{k}: {v}')
+    if metric_pedestrian is not None:
+        print(f'pedestrian IoU: {metric_pedestrian.compute()}')
+    if t_fwd:
+        print(f'mean forward time: {np.mean(t_fwd[1:] or t_fwd):.3f}s')
+    return results
+
+
+def main():
+    args = get_eval_parser().parse_args()
+    cfg, ckpt = build_eval_state(args)
+    run_eval(cfg, ckpt)
+
+
+if __name__ == '__main__':
+    main()

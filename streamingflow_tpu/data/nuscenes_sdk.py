@@ -1,0 +1,292 @@
+"""Minimal self-contained nuScenes SDK.
+
+A from-scratch replacement for the slices of the vendored nuscenes-devkit the
+reference pipeline uses (table access, quaternions, boxes, CAN bus,
+multisweep lidar aggregation — see reference streamingflow/datas/
+NuscenesData.py imports and utils/data_classes.py:454-600).  Only the
+standard library + numpy.
+
+The dataset layout is the public nuScenes format: JSON tables under
+``<dataroot>/<version>/*.json`` and binary sweeps under ``<dataroot>/
+samples|sweeps/...``.
+"""
+from __future__ import annotations
+
+import json
+import os
+from bisect import bisect_left
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# ----------------------------------------------------------------- quaternion
+class Quaternion:
+    """Minimal wxyz quaternion with the operations the pipeline needs."""
+
+    def __init__(self, wxyz=None, scalar: Optional[float] = None,
+                 vector=None):
+        if wxyz is not None:
+            self.q = np.asarray(wxyz, np.float64)
+        else:
+            self.q = np.concatenate([[scalar], np.asarray(vector, np.float64)])
+
+    @property
+    def rotation_matrix(self) -> np.ndarray:
+        w, x, y, z = self.q / np.linalg.norm(self.q)
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    @property
+    def inverse(self) -> 'Quaternion':
+        w, x, y, z = self.q
+        n = np.dot(self.q, self.q)
+        return Quaternion([w / n, -x / n, -y / n, -z / n])
+
+    def __mul__(self, other: 'Quaternion') -> 'Quaternion':
+        w1, x1, y1, z1 = self.q
+        w2, x2, y2, z2 = other.q
+        return Quaternion([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+    @property
+    def yaw_pitch_roll(self) -> Tuple[float, float, float]:
+        """Intrinsic z-y'-x'' Tait-Bryan angles (devkit convention)."""
+        w, x, y, z = self.q / np.linalg.norm(self.q)
+        yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1, 1))
+        roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        return yaw, pitch, roll
+
+    def rotate(self, v: np.ndarray) -> np.ndarray:
+        return self.rotation_matrix @ np.asarray(v, np.float64)
+
+
+def quaternion_yaw(q: Quaternion) -> float:
+    """Yaw of a quaternion around +z (devkit eval/common/utils semantics)."""
+    v = q.rotation_matrix @ np.array([1.0, 0.0, 0.0])
+    return float(np.arctan2(v[1], v[0]))
+
+
+def transform_matrix(translation, rotation: Quaternion,
+                     inverse: bool = False) -> np.ndarray:
+    """4x4 homogeneous transform (devkit geometry_utils semantics)."""
+    tm = np.eye(4)
+    if inverse:
+        rot = rotation.rotation_matrix.T
+        tm[:3, :3] = rot
+        tm[:3, 3] = rot @ (-np.asarray(translation, np.float64))
+    else:
+        tm[:3, :3] = rotation.rotation_matrix
+        tm[:3, 3] = np.asarray(translation, np.float64)
+    return tm
+
+
+# ------------------------------------------------------------------------ box
+class Box:
+    """3-D oriented box (center, wlh size, quaternion orientation)."""
+
+    def __init__(self, center, size, orientation: Quaternion):
+        self.center = np.asarray(center, np.float64)
+        self.wlh = np.asarray(size, np.float64)
+        self.orientation = orientation
+
+    def translate(self, x):
+        self.center = self.center + np.asarray(x, np.float64)
+
+    def rotate(self, quaternion: Quaternion):
+        self.center = quaternion.rotation_matrix @ self.center
+        self.orientation = quaternion * self.orientation
+
+    def corners(self) -> np.ndarray:
+        """(3, 8) corners; first four face forward (devkit order)."""
+        w, l, h = self.wlh
+        x = l / 2 * np.array([1, 1, 1, 1, -1, -1, -1, -1])
+        y = w / 2 * np.array([1, -1, -1, 1, 1, -1, -1, 1])
+        z = h / 2 * np.array([1, 1, -1, -1, 1, 1, -1, -1])
+        corners = np.vstack([x, y, z])
+        corners = self.orientation.rotation_matrix @ corners
+        return corners + self.center[:, None]
+
+    def bottom_corners(self) -> np.ndarray:
+        """(3, 4) corners of the bottom face (devkit order [2, 3, 7, 6])."""
+        return self.corners()[:, [2, 3, 7, 6]]
+
+
+# --------------------------------------------------------------------- tables
+NUSCENES_TABLES = ['category', 'attribute', 'visibility', 'instance',
+                   'sensor', 'calibrated_sensor', 'ego_pose', 'log', 'scene',
+                   'sample', 'sample_data', 'sample_annotation', 'map']
+
+
+class NuScenes:
+    """Token-indexed access to the nuScenes relational tables."""
+
+    def __init__(self, version: str = 'v1.0-trainval',
+                 dataroot: str = 'data/nuscenes', verbose: bool = False):
+        self.version = version
+        self.dataroot = dataroot
+        self._tables: Dict[str, List[dict]] = {}
+        self._index: Dict[str, Dict[str, dict]] = {}
+        table_root = os.path.join(dataroot, version)
+        for table in NUSCENES_TABLES:
+            path = os.path.join(table_root, f'{table}.json')
+            records = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    records = json.load(f)
+            self._tables[table] = records
+            self._index[table] = {r['token']: r for r in records}
+        self._link_keyframes()
+
+    def _link_keyframes(self):
+        """Reverse index: sample token -> {channel: sample_data token} and
+        annotation list, mirroring the devkit's table decoration."""
+        for sample in self.sample:
+            sample.setdefault('data', {})
+            sample.setdefault('anns', [])
+        for sd in self.sample_data:
+            if sd.get('is_key_frame'):
+                sample = self._index['sample'].get(sd['sample_token'])
+                if sample is not None:
+                    sensor = self.get(
+                        'sensor',
+                        self.get('calibrated_sensor',
+                                 sd['calibrated_sensor_token'])['sensor_token'])
+                    sample['data'][sensor['channel']] = sd['token']
+        for ann in self.sample_annotation:
+            sample = self._index['sample'].get(ann['sample_token'])
+            if sample is not None:
+                sample['anns'].append(ann['token'])
+
+    def __getattr__(self, name):
+        if name in NUSCENES_TABLES:
+            return self._tables[name]
+        raise AttributeError(name)
+
+    def get(self, table: str, token: str) -> dict:
+        return self._index[table][token]
+
+
+# --------------------------------------------------------------------- splits
+def create_splits_scenes(nusc: Optional[NuScenes] = None,
+                         splits_file: Optional[str] = None) -> Dict[str, List[str]]:
+    """Official scene splits.
+
+    Resolution order: the real ``nuscenes`` package if importable, an explicit
+    ``splits.json`` ({split: [scene names]}) next to the tables, else a
+    deterministic 85/15 fallback over the scenes present (documented
+    divergence — install the official split file for benchmark parity)."""
+    try:  # pragma: no cover - depends on environment
+        from nuscenes.utils.splits import create_splits_scenes as _official
+        return _official()
+    except ImportError:
+        pass
+    if splits_file and os.path.exists(splits_file):
+        with open(splits_file) as f:
+            return json.load(f)
+    if nusc is not None:
+        default = os.path.join(nusc.dataroot, 'splits.json')
+        if os.path.exists(default):
+            with open(default) as f:
+                return json.load(f)
+        names = sorted(s['name'] for s in nusc.scene)
+        cut = max(1, int(0.85 * len(names)))
+        return {'train': names[:cut], 'val': names[cut:],
+                'mini_train': names[:cut], 'mini_val': names[cut:],
+                'test': names}
+    return {'train': [], 'val': [], 'mini_train': [], 'mini_val': [],
+            'test': []}
+
+
+# -------------------------------------------------------------------- can bus
+class NuScenesCanBus:
+    """CAN bus message access (devkit can_bus_api semantics).
+
+    Messages live in ``<dataroot>/can_bus/<scene>_<channel>.json``."""
+
+    # scenes without any CAN data in the official release
+    can_blacklist = [161, 162, 163, 164, 165, 166, 167, 168, 170, 171, 172,
+                     173, 174, 175, 176, 309, 310, 311, 312, 313, 314]
+
+    def __init__(self, dataroot: str):
+        self.can_dir = os.path.join(dataroot, 'can_bus')
+
+    def get_messages(self, scene_name: str, channel: str) -> List[dict]:
+        path = os.path.join(self.can_dir, f'{scene_name}_meta_{channel}.json')
+        if not os.path.exists(path):
+            path = os.path.join(self.can_dir, f'{scene_name}_{channel}.json')
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+
+def locate_message(utimes, utime):
+    """Nearest message index (reference NuscenesData.py:41-45)."""
+    i = int(np.searchsorted(utimes, utime))
+    if i == len(utimes) or (i > 0 and utime - utimes[i - 1] < utimes[i] - utime):
+        i -= 1
+    return i
+
+
+# ------------------------------------------------------------------ lidar i/o
+def load_lidar_points(nusc: NuScenes, sample_data: dict) -> np.ndarray:
+    """Read one sweep: (N, 5) [x, y, z, intensity, ring] float32."""
+    path = os.path.join(nusc.dataroot, sample_data['filename'])
+    scan = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+    return scan
+
+
+def multisweep_lidar(nusc: NuScenes, ref_sample_data: dict,
+                     nsweeps_back: int = 20,
+                     min_distance: float = 1.0
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Aggregate past sweeps into the reference sensor frame.
+
+    Returns (points (4or5, P) [x, y, z, intensity, ...], time_lags (P,)
+    seconds before the reference sweep).  Re-implements the behaviour of the
+    reference's forked devkit ``from_file_multisweep_bf_sample_data``
+    (utils/data_classes.py:454-600): walk the ``prev`` chain, transform each
+    sweep into the reference sensor frame via (sensor->ego->global) poses.
+    """
+    ref_pose = nusc.get('ego_pose', ref_sample_data['ego_pose_token'])
+    ref_cs = nusc.get('calibrated_sensor',
+                      ref_sample_data['calibrated_sensor_token'])
+    car_from_global = transform_matrix(
+        ref_pose['translation'], Quaternion(ref_pose['rotation']), inverse=True)
+    ref_from_car = transform_matrix(
+        ref_cs['translation'], Quaternion(ref_cs['rotation']), inverse=True)
+
+    all_points, all_times = [], []
+    sd = ref_sample_data
+    ref_time = 1e-6 * ref_sample_data['timestamp']
+    for _ in range(nsweeps_back):
+        pts = load_lidar_points(nusc, sd)
+        dists = np.linalg.norm(pts[:, :2], axis=1)
+        pts = pts[dists >= min_distance]
+        pose = nusc.get('ego_pose', sd['ego_pose_token'])
+        cs = nusc.get('calibrated_sensor', sd['calibrated_sensor_token'])
+        global_from_car = transform_matrix(
+            pose['translation'], Quaternion(pose['rotation']), inverse=False)
+        car_from_sensor = transform_matrix(
+            cs['translation'], Quaternion(cs['rotation']), inverse=False)
+        tm = ref_from_car @ car_from_global @ global_from_car @ car_from_sensor
+        xyz1 = np.concatenate(
+            [pts[:, :3], np.ones((len(pts), 1), np.float32)], axis=1)
+        pts[:, :3] = (xyz1 @ tm.T)[:, :3]
+        time_lag = ref_time - 1e-6 * sd['timestamp']
+        all_points.append(pts)
+        all_times.append(np.full(len(pts), time_lag, np.float32))
+        if not sd.get('prev'):
+            break
+        sd = nusc.get('sample_data', sd['prev'])
+    points = np.concatenate(all_points, axis=0)
+    times = np.concatenate(all_times, axis=0)
+    return points.T, times

@@ -114,8 +114,11 @@ class Bottleneck(nn.Module):
         h = nn.Conv(bottleneck, (1, 1), use_bias=False)(x)
         h = bn_relu(h)
         if self.upsample:
+            # torch ConvTranspose2d(k, stride=2, padding=p, output_padding=p)
+            # maps to flax/lax explicit padding (k-1-p, k-1): doubles H, W.
             h = nn.ConvTranspose(bottleneck, (k, k), strides=(2, 2),
-                                 padding=[(pad, pad)] * 2, use_bias=False)(h)
+                                 padding=[(k - 1 - pad, k - 1)] * 2,
+                                 use_bias=False)(h)
         elif self.downsample:
             h = nn.Conv(bottleneck, (k, k), strides=(2, 2),
                         padding=[(pad, pad)] * 2, use_bias=False)(h)

