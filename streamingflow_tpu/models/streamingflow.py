@@ -20,6 +20,7 @@ from .decoder import Decoder
 from .encoder import Encoder
 from .future_prediction import FuturePredictionODE
 from .lidar_encoder import LidarBEVEncoder
+from .planning import Planning
 from .temporal_model import TemporalModel, TemporalModelIdentity
 
 
@@ -85,6 +86,11 @@ class StreamingFlow(nn.Module):
                 max_gap_seconds=cfg.MODEL.FUTURE_PRED.MAX_GAP_SECONDS,
                 stochastic=cfg.PROBABILISTIC.ENABLED)
 
+        if cfg.PLANNING.ENABLED:
+            self.planning = Planning(
+                cfg=cfg, feature_channel=cfg.MODEL.ENCODER.OUT_CHANNELS,
+                gru_state_size=cfg.PLANNING.GRU_STATE_SIZE)
+
         self.decoder = Decoder(
             n_classes=len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS),
             n_present=self.receptive_field,
@@ -110,6 +116,13 @@ class StreamingFlow(nn.Module):
         feature, depth = self.encoder(flat_imgs, train=train)
         fh, fw = feature.shape[1:3]
 
+        # present-frame front-camera feature for the planning head
+        # (reference streamingflow.py:294-303 cam_front_index=1, :443)
+        names = list(self.cfg.IMAGE.NAMES)
+        front_idx = names.index('CAM_FRONT') if 'CAM_FRONT' in names \
+            else min(1, n - 1)
+        cam_front = feature.reshape(b, s, n, fh, fw, -1)[:, -1, front_idx]
+
         if depth is not None:
             depth_prob = nn.softmax(depth, axis=-1)
             # outer product depth x features (reference :305-307)
@@ -130,7 +143,7 @@ class StreamingFlow(nn.Module):
             x, geometry, ego_mat, self.bev_start_position,
             self.bev_resolution, self.bev_dimension,
             discount=self.cfg.LIFT.DISCOUNT)
-        return bev, depth_out
+        return bev, depth_out, cam_front
 
     # ------------------------------------------------------------------- main
     def __call__(self, image=None, intrinsics=None, extrinsics=None,
@@ -156,9 +169,10 @@ class StreamingFlow(nn.Module):
             image = image[:, :rf]
             intrinsics = intrinsics[:, :rf]
             extrinsics = extrinsics[:, :rf]
-            x, depth = self.calculate_birds_eye_view_features(
+            x, depth, cam_front = self.calculate_birds_eye_view_features(
                 image, intrinsics, extrinsics, future_egomotion, train)
             output['depth_prediction'] = depth
+            output['cam_front'] = cam_front
 
             if cfg.MODEL.TEMPORAL_MODEL.INPUT_EGOPOSE:
                 b, s = x.shape[:2]

@@ -55,8 +55,27 @@ class StreamingFlowTrainModule(nn.Module):
         self.model = StreamingFlow(self.cfg)
         self.task_weights = TaskWeights(self.cfg)
 
-    def __call__(self, *args, **kwargs):
-        return self.model(*args, **kwargs), self.task_weights()
+    def __call__(self, *args, planning_inputs=None, train: bool = False,
+                 **kwargs):
+        output = self.model(*args, train=train, **kwargs)
+        if self.cfg.PLANNING.ENABLED and planning_inputs is not None:
+            rf = self.cfg.TIME_RECEPTIVE_FIELD
+            # cam_front/costvolume are detached exactly like reference
+            # trainer.py:207-216 (the planner trains on frozen perception).
+            pl_loss, final_traj = self.model.planning(
+                cam_front=jax.lax.stop_gradient(output['cam_front']),
+                trajs=planning_inputs['trajs'],
+                gt_trajs=planning_inputs['gt_trajs'],
+                cost_volume=output['costvolume'][:, rf:],
+                semantic_pred=planning_inputs['occupancy'],
+                hd_map=planning_inputs['hdmap'],
+                commands=planning_inputs['commands'],
+                target_points=planning_inputs['target_points'],
+                train=train)
+            output['planning_loss'] = pl_loss
+            output['selected_traj'] = jnp.concatenate(
+                [jnp.zeros_like(final_traj[:, :1]), final_traj], axis=1)
+        return output, self.task_weights()
 
 
 def prepare_future_labels(batch: Dict[str, jnp.ndarray], cfg: Config
@@ -160,7 +179,32 @@ def compute_losses(output: Dict[str, jnp.ndarray],
             ignore_index=cfg.DATASET.IGNORE_INDEX, future_discount=fd)
         loss['flow_uncertainty'] = 0.5 * weights['flow']
 
+    if cfg.PLANNING.ENABLED and output.get('planning_loss') is not None:
+        loss['planning'] = factor('planning') * output['planning_loss']
+        loss['planning_uncertainty'] = 0.5 * weights['planning']
+
     return loss
+
+
+def build_planning_inputs(batch, labels, cfg: Config):
+    """Assemble planner inputs from batch + warped labels.
+
+    Reference trainer.py:202-216: occupancy = seg OR pedestrian future
+    labels; candidate trajectories come from the CAN-bus sampler
+    (batch['sample_trajectory']); hd_map is the label raster at train time."""
+    if not cfg.PLANNING.ENABLED:
+        return None
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    occ = labels['segmentation'][:, rf:, :, :, 0]
+    if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+        occ = jnp.logical_or(occ, labels['pedestrian'][:, rf:, :, :, 0])
+    return dict(
+        trajs=batch['sample_trajectory'][:, :, 1:],
+        gt_trajs=batch['gt_trajectory'][:, 1:],
+        occupancy=occ.astype(jnp.float32),
+        hdmap=batch['hdmap'].astype(jnp.float32),
+        commands=batch['command'].astype(jnp.int32),
+        target_points=batch['target_point'])
 
 
 class TrainState(train_state.TrainState):
@@ -170,8 +214,13 @@ class TrainState(train_state.TrainState):
 def create_train_state(cfg: Config, rng: jax.Array, batch) -> TrainState:
     module = StreamingFlowTrainModule(cfg)
     model_args = batch_to_model_args(batch, cfg)
-    variables = jax.jit(module.init)(
-        {'params': rng, 'dropout': rng, 'sample': rng}, **model_args)
+    planning_inputs = None
+    if cfg.PLANNING.ENABLED:
+        labels = prepare_future_labels(batch, cfg)
+        planning_inputs = build_planning_inputs(batch, labels, cfg)
+    variables = jax.jit(module.init, static_argnames=())(
+        {'params': rng, 'dropout': rng, 'sample': rng}, **model_args,
+        planning_inputs=planning_inputs)
     # torch Adam(weight_decay) adds wd*p to the gradient before the moment
     # updates (non-decoupled) — clip first like Lightning's grad clipping.
     tx = optax.chain(
@@ -204,10 +253,13 @@ def make_train_step(cfg: Config):
         model_args = batch_to_model_args(batch, cfg)
         rngs = {'dropout': rng, 'sample': jax.random.fold_in(rng, 1)}
 
+        planning_inputs = build_planning_inputs(batch, labels, cfg)
+
         def loss_fn(params):
             (output, weights), updates = state.apply_fn(
                 {'params': params, 'batch_stats': state.batch_stats},
-                **model_args, train=True, rngs=rngs, mutable=['batch_stats'])
+                **model_args, planning_inputs=planning_inputs, train=True,
+                rngs=rngs, mutable=['batch_stats'])
             loss_dict = compute_losses(output, labels, weights, cfg)
             total = sum(loss_dict.values())
             return total, (loss_dict, updates)
@@ -222,11 +274,12 @@ def make_train_step(cfg: Config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def eval_forward(state: TrainState, batch, cfg: Config, rng=None):
+def eval_forward(state: TrainState, batch, cfg: Config, rng=None,
+                 planning_inputs=None):
     """Inference forward pass (running BN stats, no dropout)."""
     model_args = batch_to_model_args(batch, cfg)
     rngs = {'sample': rng if rng is not None else jax.random.PRNGKey(0)}
     output, _ = state.apply_fn(
         {'params': state.params, 'batch_stats': state.batch_stats},
-        **model_args, train=False, rngs=rngs)
+        **model_args, planning_inputs=planning_inputs, train=False, rngs=rngs)
     return output

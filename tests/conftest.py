@@ -14,4 +14,15 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+if os.environ.get('TEST_ON_TPU', '0') != '1':
+    # A sitecustomize-registered accelerator plugin may have force-updated
+    # jax_platforms at interpreter startup; the env var alone is not enough.
+    # Re-pin to CPU after importing jax (backends initialise lazily).
+    jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
+
+# Persistent compilation cache: the end-to-end train-step compiles are the
+# dominant test cost; cache them across runs.
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_test_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
