@@ -60,6 +60,20 @@ def main():
     variables = jax.jit(model.init)(
         {'params': key, 'dropout': key, 'sample': key}, **args)
 
+    # Mixed precision (reference ships PRECISION: 16,
+    # configs/Prediction_LC_ODE_Variable.yml:6): run the forward in bf16.
+    # Timestamps / camera geometry stay fp32 (ODE step arithmetic and voxel
+    # quantisation are precision-sensitive); dense tensors and weights go
+    # bf16 so conv/matmul hit the MXU at full rate and HBM traffic halves.
+    if os.environ.get('STREAMINGFLOW_BENCH_DTYPE', 'bf16') == 'bf16':
+        def to_bf16(x):
+            return (x.astype(jnp.bfloat16)
+                    if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x)
+        variables = jax.tree.map(to_bf16, variables)
+        for k in ('image', 'points'):
+            if args.get(k) is not None:
+                args[k] = to_bf16(args[k])
+
     @jax.jit
     def forward(a):
         out = model.apply(variables, **a,

@@ -93,6 +93,9 @@ class LidarModelConfig:
     USE_RANGE: bool = False
     USE_ALL_POINTS: bool = False
     HEIGHT_FEAT_SIZE: int = 13
+    # 'pillar8x' (dense, TPU-first default) or 'spconv8x' (exact sparse
+    # engine, reference-parity path)
+    BACKBONE: str = 'pillar8x'
 
 
 @_cfg

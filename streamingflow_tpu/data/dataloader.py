@@ -94,9 +94,12 @@ def prepare_dataloaders(cfg: Config, return_dataset: bool = False):
         train_ds = FuturePredictionDataset(nusc, 0, cfg)
         val_ds = FuturePredictionDataset(nusc, 1, cfg)
     elif cfg.DATASET.NAME == 'lyft':
+        # Lyft L5 ships in the nuScenes table schema; same reader, Lyft
+        # split/category semantics (data/lyft.py)
         from .lyft import FuturePredictionDatasetLyft
-        train_ds = FuturePredictionDatasetLyft(0, cfg)
-        val_ds = FuturePredictionDatasetLyft(1, cfg)
+        nusc = NuScenes(version=version, dataroot=cfg.DATASET.DATAROOT)
+        train_ds = FuturePredictionDatasetLyft(nusc, 0, cfg)
+        val_ds = FuturePredictionDatasetLyft(nusc, 1, cfg)
     else:
         raise ValueError(f'unknown dataset {cfg.DATASET.NAME}')
 

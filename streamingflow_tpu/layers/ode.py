@@ -119,8 +119,55 @@ class GRUODEBayes(nn.Module):
         inp = jnp.where(mask, new_inp, inp)
         return state, inp, current_time + dt, do_step
 
+    # --------------------------------------------------------------- events
+    def _n_substeps(self) -> int:
+        return 1 if self.variable_step else max(
+            1, int(-(-self.max_gap_seconds // self.delta_t)))
+
+    def _obs_event(self, carry, x, train: bool):
+        """Integrate up to one observation, then jump (ref :539-581)."""
+        state, inp_enc, current_time = carry
+        etime, hx = x
+        for _ in range(self._n_substeps()):
+            state, inp_enc, current_time, _ = self._masked_substep(
+                state, inp_enc, current_time, etime, True, train)
+        dt0 = carry[0].dtype
+        state = self.gru_obs(hx, state, train=train)        # ref :565
+        inp_enc = self._infer_state(state, train)           # ref :574
+        # norm layers may upcast to fp32 internally; the scan carry dtype
+        # must stay fixed (bf16 under mixed precision)
+        state, inp_enc = state.astype(dt0), inp_enc.astype(dt0)
+        return (state, inp_enc, current_time), (state, etime)
+
+    def _target_event(self, carry, ttime, train: bool):
+        """Free-run toward one target time, recording in-window states
+        (ref :585-604)."""
+        state, inp_enc, current_time = carry
+        half = 0.5 * self.delta_t
+        rec_state = jnp.zeros_like(state)
+        rec_time = jnp.full(current_time.shape, jnp.inf, current_time.dtype)
+        rec_valid = jnp.zeros(current_time.shape, bool)
+        for _ in range(self._n_substeps()):
+            state, inp_enc, current_time, stepped = self._masked_substep(
+                state, inp_enc, current_time, ttime, False, train)
+            in_win = (stepped & (current_time > ttime - half)
+                      & (current_time < ttime + half))
+            m = in_win[:, None, None, None]
+            rec_state = jnp.where(m, state, rec_state)
+            rec_time = jnp.where(in_win, current_time, rec_time)
+            rec_valid = rec_valid | in_win
+        rec_time = jnp.where(rec_valid, rec_time, jnp.inf)
+        dt0 = carry[0].dtype
+        state, inp_enc = state.astype(dt0), inp_enc.astype(dt0)
+        return ((state, inp_enc, current_time),
+                (rec_state.astype(dt0), rec_time, rec_valid))
+
     # ------------------------------------------------------------------- main
     def __call__(self, obs_times, obs, inp, target_times, train: bool = False):
+        """The event tape executes under ``nn.scan``: one compiled event body
+        instead of E_obs + E_tgt unrolled copies (params broadcast, BN stats
+        threaded through the scan carry — same sequential update order as an
+        unrolled loop — and per-event 'sample' rngs)."""
         B, E_obs = obs_times.shape
         E_tgt = target_times.shape[1]
 
@@ -135,47 +182,50 @@ class GRUODEBayes(nn.Module):
 
         state = jnp.zeros_like(inp_enc)              # ref :507 zero init
         current_time = jnp.min(obs_times, axis=1)    # ref :508
-
-        K = 1 if self.variable_step else max(
-            1, int(-(-self.max_gap_seconds // self.delta_t)))
         half = 0.5 * self.delta_t
 
-        path_states, path_times, path_valid = [], [], []
+        if self.is_initializing():
+            # Variables carried through the scan (BN stats) must exist before
+            # scanning: create every event variable with one unscanned body
+            # call, broadcasting outputs to the tape length for shape flow.
+            carry, (s1, t1) = self._obs_event(
+                (state, inp_enc, current_time),
+                (obs_times[:, 0], hx_obs[:, 0]), train)
+            obs_states = jnp.repeat(s1[:, None], E_obs, axis=1)
+            obs_t = jnp.repeat(t1[:, None], E_obs, axis=1)
+            carry, (r1, rt1, rv1) = self._target_event(
+                carry, target_times[:, 0], train)
+            rec_states = jnp.repeat(r1[:, None], E_tgt, axis=1)
+            rec_times = jnp.repeat(rt1[:, None], E_tgt, axis=1)
+            rec_valids = jnp.repeat(rv1[:, None], E_tgt, axis=1)
+        else:
+            # train: BN stats are mutable -> thread them through the scan
+            # carry (sequential updates, like an unrolled loop).  eval: stats
+            # are read-only -> broadcast them alongside params.
+            if self.is_mutable_collection('batch_stats'):
+                var_kw = dict(variable_broadcast='params',
+                              variable_carry='batch_stats')
+            else:
+                var_kw = dict(variable_broadcast=['params', 'batch_stats'])
+            scan_kw = dict(**var_kw,
+                           split_rngs={'params': False, 'sample': True,
+                                       'dropout': True},
+                           in_axes=1, out_axes=1)
 
-        # --- phase 1: integrate to each observation, then jump (ref :539-581)
-        for e in range(E_obs):
-            etime = obs_times[:, e]
-            for _ in range(K):
-                state, inp_enc, current_time, _ = self._masked_substep(
-                    state, inp_enc, current_time, etime, True, train)
-            state = self.gru_obs(hx_obs[:, e], state, train=train)  # ref :565
-            inp_enc = self._infer_state(state, train)               # ref :574
-            path_states.append(state)
-            path_times.append(etime)
-            path_valid.append(jnp.ones((B,), bool))
+            obs_scan = nn.scan(
+                lambda mdl, c, x: mdl._obs_event(c, x, train), **scan_kw)
+            carry, (obs_states, obs_t) = obs_scan(
+                self, (state, inp_enc, current_time), (obs_times, hx_obs))
 
-        # --- phase 2: free-run to each target time (ref :585-604) ------------
-        for j in range(E_tgt):
-            ttime = target_times[:, j]
-            rec_state = jnp.zeros_like(state)
-            rec_time = jnp.full((B,), jnp.inf, current_time.dtype)
-            rec_valid = jnp.zeros((B,), bool)
-            for _ in range(K):
-                state, inp_enc, current_time, stepped = self._masked_substep(
-                    state, inp_enc, current_time, ttime, False, train)
-                in_win = (stepped & (current_time > ttime - half)
-                          & (current_time < ttime + half))
-                m = in_win[:, None, None, None]
-                rec_state = jnp.where(m, state, rec_state)
-                rec_time = jnp.where(in_win, current_time, rec_time)
-                rec_valid = rec_valid | in_win
-            path_states.append(rec_state)
-            path_times.append(jnp.where(rec_valid, rec_time, jnp.inf))
-            path_valid.append(rec_valid)
+            tgt_scan = nn.scan(
+                lambda mdl, c, x: mdl._target_event(c, x, train), **scan_kw)
+            _, (rec_states, rec_times, rec_valids) = tgt_scan(
+                self, carry, target_times)
 
-        path_states = jnp.stack(path_states, axis=1)  # (B, E, h, w, c)
-        path_times = jnp.stack(path_times, axis=1)    # (B, E)
-        path_valid = jnp.stack(path_valid, axis=1)    # (B, E)
+        path_states = jnp.concatenate([obs_states, rec_states], axis=1)
+        path_times = jnp.concatenate([obs_t, rec_times], axis=1)
+        path_valid = jnp.concatenate(
+            [jnp.ones((B, E_obs), bool), rec_valids], axis=1)
         E = E_obs + E_tgt
         idx_arange = jnp.arange(E)
 

@@ -64,11 +64,18 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[..., None], y, 0.0)
 
 
-def _batched_subm(feats, coords, ids, mask, shape, weights):
-    def one(f, c, i, m):
-        st = S.SparseTensor(f, c, i, m, shape)
-        return S.subm_conv3d(st, weights).feats
-    return jax.vmap(one)(feats, coords, ids, mask)
+def _batched_nmap(coords, ids, mask, shape):
+    """One 27-tap neighbour map per cloud, shared by every subm conv of the
+    stage (spconv caches indice pairs the same way, ops.py:45-126)."""
+    def one(c, i, m):
+        st = S.SparseTensor(jnp.zeros((i.shape[0], 1)), c, i, m, shape)
+        return S.build_neighbor_map(st, 3)
+    return jax.vmap(one)(coords, ids, mask)
+
+
+def _batched_subm(feats, mask, nmap, weights):
+    return jax.vmap(lambda f, m, nm: S.gather_gemm(f, nm, weights, m))(
+        feats, mask, nmap)
 
 
 def _batched_sparse_conv(feats, coords, ids, mask, shape, weights, kernel,
@@ -88,12 +95,12 @@ class SubMConvBNReLU(nn.Module):
     kernel: int = 3
 
     @nn.compact
-    def __call__(self, feats, coords, ids, mask, shape, train: bool = False):
+    def __call__(self, feats, mask, nmap, train: bool = False):
         k3 = self.kernel ** 3
         w = self.param('kernel', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'),
             (k3, feats.shape[-1], self.out_channels))
-        h = _batched_subm(feats, coords, ids, mask, shape, w)
+        h = _batched_subm(feats, mask, nmap, w)
         h = MaskedBatchNorm()(h, mask, train=train)
         return nn.relu(h)
 
@@ -103,16 +110,16 @@ class SparseBasicBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, feats, coords, ids, mask, shape, train: bool = False):
+    def __call__(self, feats, mask, nmap, train: bool = False):
         identity = feats
         w1 = self.param('kernel1', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'), (27, feats.shape[-1], self.channels))
-        h = _batched_subm(feats, coords, ids, mask, shape, w1)
+        h = _batched_subm(feats, mask, nmap, w1)
         h = MaskedBatchNorm(name='bn1')(h, mask, train=train)
         h = nn.relu(h)
         w2 = self.param('kernel2', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'), (27, self.channels, self.channels))
-        h = _batched_subm(h, coords, ids, mask, shape, w2)
+        h = _batched_subm(h, mask, nmap, w2)
         h = MaskedBatchNorm(name='bn2')(h, mask, train=train)
         return nn.relu(h + identity)
 
@@ -164,9 +171,12 @@ class LidarBEVEncoder(nn.Module):
         from ..ops.voxelize import LARGE_ID, linearize
         ids = jnp.where(mask, linearize(coords, shape), LARGE_ID)
 
-        # conv_input (sparse_encoder.py:74-82)
+        # conv_input (sparse_encoder.py:74-82): the 27-tap neighbour map is
+        # built once per stage and reused by every subm conv on that
+        # active set.
+        nmap = _batched_nmap(coords, ids, mask, shape)
         feats = SubMConvBNReLU(cfg.BASE_CHANNELS, name='conv_input')(
-            feats, coords, ids, mask, shape, train=train)
+            feats, mask, nmap, train=train)
 
         stage_paddings = [(1, 1, 1), (1, 1, 1), (1, 1, 0)]
         for i, blocks in enumerate(cfg.ENCODER_CHANNELS):
@@ -178,10 +188,11 @@ class LidarBEVEncoder(nn.Module):
                         cap=cfg.STAGE_CAPS[i + 1],
                         name=f'down{i + 1}')(feats, coords, ids, mask, shape,
                                              train=train)
+                    nmap = _batched_nmap(coords, ids, mask, shape)
                 else:
                     feats = SparseBasicBlock(
                         ch, name=f'stage{i + 1}_block{j}')(
-                        feats, coords, ids, mask, shape, train=train)
+                        feats, mask, nmap, train=train)
 
         # conv_out: kernel (1,1,3) stride (1,1,2) pad 0 (sparse_encoder.py:88-97)
         feats, coords, ids, mask, shape = SparseConvBNReLU(

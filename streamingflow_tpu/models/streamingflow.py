@@ -20,6 +20,7 @@ from .decoder import Decoder
 from .encoder import Encoder
 from .future_prediction import FuturePredictionODE
 from .lidar_encoder import LidarBEVEncoder
+from .pillar_encoder import PillarBEVEncoder
 from .planning import Planning
 from .temporal_model import TemporalModel, TemporalModelIdentity
 
@@ -61,7 +62,10 @@ class StreamingFlow(nn.Module):
                     use_pyramid_pooling=cfg.MODEL.TEMPORAL_MODEL.PYRAMID_POOLING)
 
         if self.use_lidar:
-            self.lidar_encoder = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+            if cfg.MODEL.LIDAR.BACKBONE == 'pillar8x':
+                self.lidar_encoder = PillarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+            else:
+                self.lidar_encoder = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
             self.temporal_model_lidar = TemporalModel(
                 receptive_field=self.receptive_field,
                 input_shape=bev_size,

@@ -22,7 +22,7 @@ receptive field touches an input (include/spconv/geometry.h:301).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,29 +67,60 @@ def _lookup(st: SparseTensor, query_coords: jnp.ndarray,
     return idx_c, found
 
 
-def subm_conv3d(st: SparseTensor, weights: jnp.ndarray,
-                bias=None) -> SparseTensor:
+class NeighborMap(NamedTuple):
+    """Per-tap slot indices into a fixed active set.
+
+    idx/found: (K, V).  Depends only on the active-site geometry, so one map
+    serves every submanifold conv over the same active set — the TPU
+    equivalent of spconv's cached indice pairs (ops.py:45-126, which builds
+    the pair table once per (kernel, site-set) and reuses it)."""
+    idx: jnp.ndarray
+    found: jnp.ndarray
+
+
+def build_neighbor_map(st: SparseTensor, kernel: int = 3) -> NeighborMap:
+    """Binary-search the K=kernel^3 centred taps for every active site."""
+    offsets = _kernel_offsets((kernel,) * 3) - kernel // 2
+    idxs, founds = [], []
+    for ki in range(offsets.shape[0]):
+        off = jnp.asarray(offsets[ki], jnp.int32)
+        idx, found = _lookup(st, st.coords + off, st.mask)
+        idxs.append(idx)
+        founds.append(found)
+    return NeighborMap(jnp.stack(idxs), jnp.stack(founds))
+
+
+def gather_gemm(feats: jnp.ndarray, nmap: NeighborMap, weights: jnp.ndarray,
+                out_mask: jnp.ndarray, bias=None) -> jnp.ndarray:
+    """One fused neighbourhood GEMM: gather (K, V, Cin) -> (V, K*Cin) and hit
+    the MXU with a single (V, K*Cin) @ (K*Cin, Cout) contraction instead of
+    K skinny GEMMs.  weights: (K, Cin, Cout)."""
+    K, cin, cout = weights.shape
+    g = feats[nmap.idx]                                  # (K, V, Cin)
+    g = jnp.where(nmap.found[:, :, None], g, 0.0)
+    g = jnp.moveaxis(g, 0, 1).reshape(g.shape[1], K * cin)
+    acc = jnp.dot(g, weights.reshape(K * cin, cout),
+                  preferred_element_type=feats.dtype)
+    if bias is not None:
+        acc = acc + bias
+    return jnp.where(out_mask[:, None], acc, 0.0)
+
+
+def subm_conv3d(st: SparseTensor, weights: jnp.ndarray, bias=None,
+                nmap: Optional[NeighborMap] = None) -> SparseTensor:
     """Submanifold conv: output only at active sites.
 
     weights: (K, Cin, Cout) with K = prod(kernel); kernel inferred as cubic
     from K (27 -> 3x3x3).  Matches reference SubMConv3d (conv.py:255-426)
-    with padding k//2 (site-centred taps).
+    with padding k//2 (site-centred taps).  Pass a precomputed ``nmap`` to
+    amortise the neighbour search across convs sharing the active set.
     """
     K = weights.shape[0]
     k = int(round(K ** (1 / 3)))
     assert k ** 3 == K, 'subm kernel must be cubic'
-    offsets = _kernel_offsets((k, k, k)) - k // 2  # centred
-
-    acc = jnp.zeros((st.feats.shape[0], weights.shape[-1]), st.feats.dtype)
-    for ki in range(K):
-        off = jnp.asarray(offsets[ki], jnp.int32)
-        idx, found = _lookup(st, st.coords + off, st.mask)
-        g = jnp.where(found[:, None], st.feats[idx], 0.0)
-        acc = acc + jnp.dot(g, weights[ki],
-                            preferred_element_type=acc.dtype)
-    if bias is not None:
-        acc = acc + bias
-    acc = jnp.where(st.mask[:, None], acc, 0.0)
+    if nmap is None:
+        nmap = build_neighbor_map(st, k)
+    acc = gather_gemm(st.feats, nmap, weights, st.mask, bias)
     return st._replace(feats=acc)
 
 
@@ -169,16 +200,15 @@ def sparse_conv3d(st: SparseTensor, weights: jnp.ndarray,
     offsets = _kernel_offsets(kernel)
     stride_a = jnp.asarray(stride, jnp.int32)
     pad_a = jnp.asarray(padding, jnp.int32)
-    acc = jnp.zeros((cap, weights.shape[-1]), st.feats.dtype)
+    idxs, founds = [], []
     for ki in range(offsets.shape[0]):
         tap = jnp.asarray(offsets[ki], jnp.int32)
         in_coords = out_coords * stride_a - pad_a + tap
         idx, found = _lookup(st, in_coords, out_mask)
-        g = jnp.where(found[:, None], st.feats[idx], 0.0)
-        acc = acc + jnp.dot(g, weights[ki], preferred_element_type=acc.dtype)
-    if bias is not None:
-        acc = acc + bias
-    acc = jnp.where(out_mask[:, None], acc, 0.0)
+        idxs.append(idx)
+        founds.append(found)
+    nmap = NeighborMap(jnp.stack(idxs), jnp.stack(founds))
+    acc = gather_gemm(st.feats, nmap, weights, out_mask, bias)
     return SparseTensor(acc, out_coords, out_ids, out_mask, out_shape)
 
 

@@ -1,0 +1,136 @@
+"""Per-stage wall-time profiling of the flagship model on the attached chip.
+
+Times each branch of StreamingFlow independently (camera encoder+lift-splat,
+LiDAR sparse engine, temporal models, GRU-ODE, decoder) the way SURVEY.md §5
+prescribes (block_until_ready spans).  Usage:
+
+    python tools/profile_stages.py [--preset full|tiny] [--reps 5]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--preset', default='full')
+    ap.add_argument('--reps', type=int, default=5)
+    ap.add_argument('--points', type=int, default=80000)
+    args = ap.parse_args()
+
+    from bench import full_cfg
+    from streamingflow_tpu.data import make_batch, tiny_config
+    from streamingflow_tpu.models import StreamingFlow
+    from streamingflow_tpu.training.trainer import batch_to_model_args
+
+    cfg = full_cfg() if args.preset == 'full' else tiny_config()
+    if args.preset == 'tiny':
+        cfg.MODEL.MODALITY.USE_LIDAR = True
+        args.points = min(args.points, 2048)
+
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=1, n_points=args.points).items()}
+    margs = batch_to_model_args(batch, cfg)
+    model = StreamingFlow(cfg)
+    key = jax.random.PRNGKey(0)
+    print('init...', flush=True)
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init)(
+        {'params': key, 'dropout': key, 'sample': key}, **margs)
+    jax.block_until_ready(variables)
+    print(f'init done in {time.perf_counter() - t0:.1f}s', flush=True)
+
+    rf = cfg.TIME_RECEPTIVE_FIELD
+
+    def timed(name, fn, *a):
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(jfn(*a))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = jfn(*a)
+        jax.block_until_ready(out)
+        run_s = (time.perf_counter() - t0) / args.reps
+        print(f'{name:28s} compile {compile_s:7.1f}s   run {run_s * 1e3:9.2f} ms',
+              flush=True)
+        return out
+
+    # camera branch
+    if cfg.MODEL.MODALITY.USE_CAMERA:
+        def cam(img, intr, extr, ego):
+            return model.apply(
+                variables,
+                img[:, :rf], intr[:, :rf], extr[:, :rf], ego[:, :rf], False,
+                method=StreamingFlow.calculate_birds_eye_view_features,
+                rngs={'sample': key})
+        bev, _, _ = timed('camera: encode+lift-splat', cam, margs['image'],
+                          margs['intrinsics'], margs['extrinsics'],
+                          margs['future_egomotion'])
+
+        def cam_temporal(x):
+            return model.apply(
+                variables, x, False,
+                method=lambda m, x, train: m.temporal_model(x, train=train),
+                rngs={'sample': key})
+        # temporal model input needs egopose channels appended
+        if cfg.MODEL.TEMPORAL_MODEL.INPUT_EGOPOSE:
+            b, s, h, w, _ = bev.shape
+            bev_in = jnp.concatenate(
+                [bev, jnp.zeros((b, s, h, w, 6), bev.dtype)], axis=-1)
+        else:
+            bev_in = bev
+        cam_states = timed('camera: temporal model', cam_temporal, bev_in)
+
+    # lidar branch
+    if cfg.MODEL.MODALITY.USE_LIDAR:
+        def lidar(points):
+            return model.apply(
+                variables, points, False,
+                method=lambda m, p, train: m.lidar_encoder(p, train=train),
+                rngs={'sample': key})
+        feat = timed('lidar: voxelize+sparse conv', lidar, margs['points'])
+
+        def lidar_temporal(x):
+            return model.apply(
+                variables, x, False,
+                method=lambda m, x, train: m.temporal_model_lidar(
+                    x, train=train),
+                rngs={'sample': key})
+        lidar_states = timed('lidar: temporal model', lidar_temporal, feat)
+
+    # future prediction (ODE)
+    states = cam_states if cfg.MODEL.MODALITY.USE_CAMERA else lidar_states
+
+    def ode(present, cam_s, lid_s):
+        return model.apply(
+            variables, present, cam_s, margs['camera_timestamp'], lid_s,
+            margs['lidar_timestamp'], margs['target_timestamp'], False,
+            method=lambda m, p, cs, ct, ls, lt, tt, train:
+                m.future_prediction(p, cs, ct, ls, lt, tt, train=train),
+            rngs={'sample': key})
+    fut = timed('gru-ode future prediction', ode, states[:, -1:],
+                cam_states if cfg.MODEL.MODALITY.USE_CAMERA else None,
+                lidar_states if cfg.MODEL.MODALITY.USE_LIDAR else None)
+
+    def dec(x):
+        return model.apply(
+            variables, x, False,
+            method=lambda m, x, train: m.decoder(x, train=train),
+            rngs={'sample': key})
+    timed('decoder', dec, fut)
+
+    # full forward for reference
+    def full(a):
+        return model.apply(variables, **a, rngs={'sample': key})['segmentation']
+    timed('FULL forward', full, margs)
+
+
+if __name__ == '__main__':
+    main()
