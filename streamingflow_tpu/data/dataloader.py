@@ -61,15 +61,20 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        failure: list = []
 
         def producer():
-            for batch_idx in self._index_batches():
-                items = [self.dataset[int(i)] for i in batch_idx]
-                items = [it for it in items
-                         if it.get('status', 'valid') == 'valid']
-                if items:
-                    q.put(collate(items))
-            q.put(sentinel)
+            try:
+                for batch_idx in self._index_batches():
+                    items = [self.dataset[int(i)] for i in batch_idx]
+                    items = [it for it in items
+                             if it.get('status', 'valid') == 'valid']
+                    if items:
+                        q.put(collate(items))
+            except BaseException as e:  # surface worker errors, never hang
+                failure.append(e)
+            finally:
+                q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -78,6 +83,8 @@ class DataLoader:
             if item is sentinel:
                 break
             yield item
+        if failure:
+            raise failure[0]
         self.epoch += 1
 
 

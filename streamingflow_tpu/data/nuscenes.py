@@ -363,7 +363,20 @@ class FuturePredictionDataset:
         for i in range(0, len(pc_list), frame_skip):
             grouped.append(np.concatenate(pc_list[i:i + frame_skip], axis=0))
         grouped = grouped[::-1]
-        selected_times = unique_times[::frame_skip][::-1]
+        selected_times = list(unique_times[::frame_skip][::-1])
+
+        # Static group count for batchability: near scene starts the prev
+        # chain is short (the reference tolerates a variable count because
+        # it runs BATCHSIZE=1, NuscenesData.py:683-737); pad the front by
+        # duplicating the oldest group (same timestamp -> the ODE applies an
+        # extra jump with the identical observation), truncate any excess.
+        target = max(1, nsweeps_back // frame_skip)
+        while len(grouped) < target:
+            grouped.insert(0, grouped[0])
+            selected_times.insert(0, selected_times[0])
+        grouped = grouped[-target:]
+        selected_times = selected_times[-target:]
+
         lidar_timestamps = (sd['timestamp']
                             - np.asarray(selected_times) * 1e6).astype(np.int64)
         return grouped, lidar_timestamps

@@ -164,6 +164,14 @@ class NuScenes:
             sample = self._index['sample'].get(ann['sample_token'])
             if sample is not None:
                 sample['anns'].append(ann['token'])
+            # devkit decoration: join instance -> category name
+            if 'category_name' not in ann:
+                inst = self._index['instance'].get(ann.get('instance_token'))
+                if inst is not None:
+                    cat = self._index['category'].get(inst['category_token'])
+                    ann['category_name'] = cat['name'] if cat else ''
+                else:
+                    ann['category_name'] = ''
 
     def __getattr__(self, name):
         if name in NUSCENES_TABLES:

@@ -1,0 +1,150 @@
+"""End-to-end reader tests on a generated on-disk nuScenes-format fixture.
+
+Covers the real data path of reference datas/NuscenesData.py:739-907: table
+loading, window indexing, image load/normalise, label rasterisation,
+egomotion, multisweep grouping, relative timestamps — and the Lyft variant.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixtures_nuscenes import make_mini_nuscenes  # noqa: E402
+
+
+@pytest.fixture(scope='module')
+def dataroot(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('nusc'))
+    make_mini_nuscenes(root, n_scenes=2, n_samples=9, n_sweeps_between=1)
+    return root
+
+
+@pytest.fixture(scope='module')
+def cfg(dataroot):
+    from streamingflow_tpu.config import Config
+    cfg = Config()
+    cfg.DATASET.DATAROOT = dataroot
+    cfg.DATASET.VERSION = 'mini'
+    cfg.TIME_RECEPTIVE_FIELD = 2
+    cfg.N_FUTURE_FRAMES = 2
+    cfg.IMAGE.NAMES = ['CAM_FRONT', 'CAM_BACK']
+    cfg.IMAGE.ORIGINAL_WIDTH = 160
+    cfg.IMAGE.ORIGINAL_HEIGHT = 90
+    cfg.IMAGE.FINAL_DIM = (32, 64)
+    cfg.IMAGE.RESIZE_SCALE = 0.5
+    cfg.IMAGE.TOP_CROP = 8
+    cfg.LIFT.X_BOUND = [-16.0, 16.0, 0.5]
+    cfg.LIFT.Y_BOUND = [-16.0, 16.0, 0.5]
+    cfg.LIFT.GT_DEPTH = False
+    cfg.DATASET.FRAME_SKIP = 5
+    return cfg
+
+
+@pytest.fixture(scope='module')
+def nusc(dataroot):
+    from streamingflow_tpu.data.nuscenes_sdk import NuScenes
+    return NuScenes(version='v1.0-mini', dataroot=dataroot)
+
+
+def test_tables_and_decoration(nusc):
+    assert len(nusc.scene) == 2
+    ann = nusc.sample_annotation[0]
+    assert ann['category_name'] == 'vehicle.car'
+    s = nusc.sample[0]
+    assert 'LIDAR_TOP' in s['data'] and 'CAM_FRONT' in s['data']
+    assert len(s['anns']) == 1
+
+
+def test_getitem_contract(nusc, cfg):
+    from streamingflow_tpu.data.nuscenes import (MAX_LIDAR_POINTS,
+                                                 FuturePredictionDataset)
+    ds = FuturePredictionDataset(nusc, 0, cfg)
+    assert len(ds) > 0
+    item = ds[0]
+
+    S, F = cfg.TIME_RECEPTIVE_FIELD, cfg.N_FUTURE_FRAMES
+    T = S + F
+    assert item['image'].shape == (S, 2, 32, 64, 3)
+    assert item['intrinsics'].shape == (S, 2, 3, 3)
+    assert item['extrinsics'].shape == (S, 2, 4, 4)
+    nx = int((cfg.LIFT.X_BOUND[1] - cfg.LIFT.X_BOUND[0]) / cfg.LIFT.X_BOUND[2])
+    assert item['segmentation'].shape == (T, nx, nx, 1)
+    assert item['instance'].shape == (T, nx, nx)
+    assert item['future_egomotion'].shape == (T, 6)
+    assert item['points'].shape[0] >= 1
+    assert item['points'].shape[1:] == (MAX_LIDAR_POINTS, 5)
+    assert item['camera_timestamp'].shape == (S,)
+    assert item['target_timestamp'].shape == (T,)
+
+    # relative timestamps: present keyframe at 0, past negative, 0.5 s grid
+    np.testing.assert_allclose(item['camera_timestamp'][-1], 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.diff(item['target_timestamp']), 0.5,
+                               atol=1e-2)
+    assert (item['lidar_timestamp'] <= 1e-3).all()
+
+    # forward egomotion ~2 m per 0.5 s step along x; the 6-DoF vector is the
+    # pose of frame t expressed in frame t+1, so the old origin sits at -2
+    np.testing.assert_allclose(item['future_egomotion'][:-1, 0], -2.0,
+                               atol=0.1)
+    # the annotated box rasterises into the segmentation raster
+    assert item['segmentation'].sum() > 0
+    assert item['instance'].max() >= 1
+    # labels: center/offset/flow generated
+    assert item['centerness'].shape == (T, nx, nx, 1)
+    assert item['offset'].shape == (T, nx, nx, 2)
+    assert item['flow'].shape == (T, nx, nx, 2)
+
+
+def test_gt_trajectory_and_command(nusc, cfg):
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+    ds = FuturePredictionDataset(nusc, 0, cfg)
+    item = ds[0]
+    gt = item['gt_trajectory']
+    assert gt.shape == (cfg.N_FUTURE_FRAMES + 1, 3)
+    # displacement grows ~2 m per step along the lidar-frame x axis
+    np.testing.assert_allclose(np.diff(gt[:, 0]), 2.0, atol=0.2)
+    # command rule (reference NuscenesData.py:639-644): x >= 2 -> RIGHT.
+    # The fixture's lidar calibration is identity (real nuScenes mounts the
+    # lidar ~90 deg rotated, making x lateral), so the rule fires RIGHT here.
+    assert int(item['command']) == 2
+
+
+def test_windows_do_not_cross_scenes(nusc, cfg):
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+    ds = FuturePredictionDataset(nusc, 0, cfg)
+    for idx_row in ds.indices:
+        scene_toks = {ds.ixes[i]['scene_token'] for i in idx_row}
+        assert len(scene_toks) == 1
+
+
+def test_lyft_variant(dataroot, cfg):
+    from streamingflow_tpu.data.lyft import FuturePredictionDatasetLyft
+    from streamingflow_tpu.data.nuscenes_sdk import NuScenes
+
+    # lyft-style: flat category names
+    lyft_root = os.path.join(dataroot, '..', 'lyft')
+    make_mini_nuscenes(str(lyft_root), version='v1.01-train', n_scenes=3,
+                       n_samples=6, category='car')
+    nusc = NuScenes(version='v1.01-train', dataroot=str(lyft_root))
+    train = FuturePredictionDatasetLyft(nusc, 0, cfg)
+    val = FuturePredictionDatasetLyft(nusc, 1, cfg)
+    assert set(train.scenes).isdisjoint(val.scenes)
+    assert len(train.scenes) + len(val.scenes) == 3
+    ds = train if len(train) else val
+    item = ds[0]
+    assert item['segmentation'].sum() > 0          # 'car' counted as vehicle
+    # no CAN bus: zero candidate trajectories
+    assert (item['sample_trajectory'] == 0).all()
+
+
+def test_dataloader_batching(nusc, cfg):
+    from streamingflow_tpu.data.dataloader import DataLoader
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+    ds = FuturePredictionDataset(nusc, 0, cfg)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True)
+    batch = next(iter(dl))
+    assert batch['image'].shape[0] == 2
+    assert batch['points'].ndim == 4

@@ -20,6 +20,7 @@ from streamingflow_tpu.data.dataloader import prepare_dataloaders
 from streamingflow_tpu.parallel import make_data_parallel_step, make_mesh
 from streamingflow_tpu.training import trainer as TR
 from streamingflow_tpu.training.checkpoint import CheckpointManager
+from streamingflow_tpu.training.logging import MetricsLogger, SimpleProfiler
 
 
 def main():
@@ -47,23 +48,38 @@ def main():
         state = ckpt.restore(state, latest)
         start_epoch = latest
 
+    logger = MetricsLogger(os.path.join(cfg.LOG_DIR, cfg.TAG))
+    profiler = SimpleProfiler()
+
     global_step = 0
     for epoch in range(start_epoch, cfg.EPOCHS):
         t0 = time.time()
         for batch_np in trainloader:
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()
-                     if isinstance(v, np.ndarray)}
+            with profiler.span('host_to_device'):
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                         if isinstance(v, np.ndarray)}
             rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
+            with profiler.span('train_step'):
+                state, metrics = step_fn(state, batch, step_rng)
             global_step += 1
             if global_step % cfg.LOGGING_INTERVAL == 0 or global_step == 1:
                 loss = float(metrics['total_loss'])
+                # per-loss scalars each step (reference trainer.py:406-407)
+                logger.scalars(metrics, global_step, prefix='step/')
                 dt = time.time() - t0
                 print(f'epoch {epoch} step {global_step} '
                       f'loss {loss:.4f} ({dt:.1f}s)', flush=True)
-        ckpt.save(epoch + 1, state, cfg)
+        with profiler.span('checkpoint'):
+            ckpt.save(epoch + 1, state, cfg)
+        # uncertainty-weight tracking (reference trainer.py:426-486)
+        tw = state.params.get('task_weights', {})
+        logger.scalars({k: 1.0 / (2.0 * np.exp(np.asarray(v)))
+                        for k, v in tw.items()}, epoch + 1,
+                       prefix='epoch_weight/')
+        logger.flush()
         print(f'epoch {epoch} done in {time.time() - t0:.1f}s; '
               f'checkpoint saved')
+    print(profiler.summary())
 
 
 if __name__ == '__main__':
