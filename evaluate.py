@@ -26,6 +26,9 @@ def get_eval_parser():
     parser.add_argument('--future-frames', type=int, default=None,
                         help='override N_FUTURE_FRAMES (horizon sweep)')
     parser.add_argument('--batch-size', type=int, default=1)
+    parser.add_argument('--plot', default=None, metavar='DIR',
+                        help='save prediction-vs-label panels to DIR '
+                             '(reference evaluate.py plot_prediction:218)')
     parser.add_argument('--config-file', default='')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
     return parser
@@ -54,13 +57,15 @@ def build_eval_state(args, cfg_mutator=None):
     return cfg, ckpt
 
 
-def run_eval(cfg, ckpt, short_interval: bool = False):
+def run_eval(cfg, ckpt, short_interval: bool = False, plot_dir=None):
     from streamingflow_tpu.data.dataloader import prepare_dataloaders
     from streamingflow_tpu.postprocess import (
         predict_instance_segmentation_and_trajectories)
     from streamingflow_tpu.training import trainer as TR
     from streamingflow_tpu.training.metrics import (IntersectionOverUnion,
-                                                    PanopticMetric)
+                                                    PanopticMetric,
+                                                    PlanningMetric)
+    from streamingflow_tpu.utils.visualisation import visualise_output
 
     _, valloader = prepare_dataloaders(cfg)
     n_classes = len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS)
@@ -68,6 +73,10 @@ def run_eval(cfg, ckpt, short_interval: bool = False):
     metric_panoptic = PanopticMetric(n_classes=n_classes)
     metric_pedestrian = (IntersectionOverUnion(n_classes)
                          if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED else None)
+    metric_planning = PlanningMetric(cfg, cfg.N_FUTURE_FRAMES) \
+        if cfg.PLANNING.ENABLED else None
+    if plot_dir:
+        os.makedirs(plot_dir, exist_ok=True)
 
     state = None
     rf = cfg.TIME_RECEPTIVE_FIELD
@@ -108,6 +117,17 @@ def run_eval(cfg, ckpt, short_interval: bool = False):
         metric_panoptic.update(consistent[:, rf - 1:],
                                np.asarray(labels['instance'])[:, rf - 1:])
 
+        if metric_planning is not None and 'selected_traj' in output:
+            # future vehicle occupancy raster (reference evaluate.py:150-162)
+            occupancy = seg_label[:, rf:].astype(bool)
+            metric_planning.update(
+                np.asarray(output['selected_traj'])[:, 1:],
+                np.asarray(batch['gt_trajectory'])[:, 1:], occupancy)
+
+        if plot_dir is not None:
+            frames = visualise_output(labels, output, n_present=rf)
+            _save_panels(frames, os.path.join(plot_dir, f'sample_{i:05d}'))
+
     results = {'iou': metric_vehicle.compute(),
                'pq': metric_panoptic.compute()}
     print('==== evaluation results ====')
@@ -116,15 +136,29 @@ def run_eval(cfg, ckpt, short_interval: bool = False):
         print(f'{k}: {v}')
     if metric_pedestrian is not None:
         print(f'pedestrian IoU: {metric_pedestrian.compute()}')
+    if metric_planning is not None:
+        for k, v in metric_planning.compute().items():
+            print(f'planning {k}: {v}')
     if t_fwd:
         print(f'mean forward time: {np.mean(t_fwd[1:] or t_fwd):.3f}s')
     return results
 
 
+def _save_panels(frames: np.ndarray, prefix: str) -> None:
+    """Write (T, H, W, 3) uint8 panels as PNGs (one per timestep)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        np.save(prefix + '.npy', frames)
+        return
+    for t, frame in enumerate(frames):
+        Image.fromarray(frame).save(f'{prefix}_t{t}.png')
+
+
 def main():
     args = get_eval_parser().parse_args()
     cfg, ckpt = build_eval_state(args)
-    run_eval(cfg, ckpt)
+    run_eval(cfg, ckpt, plot_dir=args.plot)
 
 
 if __name__ == '__main__':

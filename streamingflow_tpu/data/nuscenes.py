@@ -16,6 +16,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .. import geometry as G
+from .. import native
 from ..config import Config
 from .labels import convert_instance_mask_to_center_and_offset_label
 from .nuscenes_sdk import (Box, NuScenes, NuScenesCanBus, Quaternion,
@@ -352,18 +353,7 @@ class FuturePredictionDataset:
         pc = np.concatenate([pc, times[None]], axis=0)  # (5|6, P)
         pc = pc[:5] if pc.shape[0] > 5 else pc
         _, sort_idx = np.unique(times, return_index=True)
-        unique_times = times[np.sort(sort_idx)]
-
-        pc_list = []
-        for _time in unique_times:
-            sel = times == _time
-            pc_list.append(pc[:, sel].T)
-
-        grouped = []
-        for i in range(0, len(pc_list), frame_skip):
-            grouped.append(np.concatenate(pc_list[i:i + frame_skip], axis=0))
-        grouped = grouped[::-1]
-        selected_times = list(unique_times[::frame_skip][::-1])
+        unique_times = times[np.sort(sort_idx)]  # ascending time-lag
 
         # Static group count for batchability: near scene starts the prev
         # chain is short (the reference tolerates a variable count because
@@ -371,15 +361,29 @@ class FuturePredictionDataset:
         # duplicating the oldest group (same timestamp -> the ODE applies an
         # extra jump with the identical observation), truncate any excess.
         target = max(1, nsweeps_back // frame_skip)
-        while len(grouped) < target:
-            grouped.insert(0, grouped[0])
-            selected_times.insert(0, selected_times[0])
-        grouped = grouped[-target:]
-        selected_times = selected_times[-target:]
+        n_raw = -(-len(unique_times) // frame_skip)
 
-        lidar_timestamps = (sd['timestamp']
-                            - np.asarray(selected_times) * 1e6).astype(np.int64)
-        return grouped, lidar_timestamps
+        # per-point final group slot: raw group (time-lag ascending) g maps
+        # to slot target-1-g (group 0 = oldest kept); slot < 0 => truncated
+        k = np.searchsorted(unique_times, times)         # unique-time index
+        group_of = (target - 1 - k // frame_skip).astype(np.int32)
+        # no group may exceed the static capacity (points would be dropped)
+        assert int(np.bincount(group_of[group_of >= 0],
+                               minlength=1).max()) <= MAX_LIDAR_POINTS
+        padded, _ = native.group_pad(
+            pc.T, group_of, n_groups=target, cap=MAX_LIDAR_POINTS)
+
+        selected_times = unique_times[::frame_skip]      # per raw group
+        sel = np.zeros((target,), np.float64)
+        sel[target - 1 - np.arange(min(n_raw, target))] = \
+            selected_times[:target]
+        n_dup = max(0, target - n_raw)
+        if n_dup:                                        # duplicate oldest
+            padded[:n_dup] = padded[n_dup]
+            sel[:n_dup] = sel[n_dup]
+
+        lidar_timestamps = (sd['timestamp'] - sel * 1e6).astype(np.int64)
+        return padded, lidar_timestamps
 
     # ---------------------------------------------------------------- getitem
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
@@ -421,13 +425,7 @@ class FuturePredictionDataset:
                 gt_trajectory = gt_traj
                 sample_trajectory = self.get_trajectory_sampling(rec)
 
-        points, lidar_times = self.get_points_from_multisweeps(index)
-        padded_points = []
-        for p in points:
-            assert p.shape[0] <= MAX_LIDAR_POINTS
-            pad = np.zeros((MAX_LIDAR_POINTS - p.shape[0], p.shape[1]),
-                           p.dtype)
-            padded_points.append(np.concatenate([p, pad], axis=0))
+        padded_points, lidar_times = self.get_points_from_multisweeps(index)
 
         out = {
             'image': np.stack(data['image']).astype(np.float32),
@@ -437,7 +435,7 @@ class FuturePredictionDataset:
             'instance': np.stack(data['instance']),
             'pedestrian': np.stack(data['pedestrian']),
             'future_egomotion': np.stack(data['future_egomotion']),
-            'points': np.stack(padded_points).astype(np.float32),
+            'points': np.asarray(padded_points, np.float32),
             'gt_trajectory': gt_trajectory,
             'command': np.int64(command),
             'sample_trajectory': sample_trajectory,

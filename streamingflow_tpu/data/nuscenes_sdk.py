@@ -272,13 +272,13 @@ def multisweep_lidar(nusc: NuScenes, ref_sample_data: dict,
     ref_from_car = transform_matrix(
         ref_cs['translation'], Quaternion(ref_cs['rotation']), inverse=True)
 
-    all_points, all_times = [], []
+    from .. import native
+
+    all_points = []
     sd = ref_sample_data
     ref_time = 1e-6 * ref_sample_data['timestamp']
     for _ in range(nsweeps_back):
         pts = load_lidar_points(nusc, sd)
-        dists = np.linalg.norm(pts[:, :2], axis=1)
-        pts = pts[dists >= min_distance]
         pose = nusc.get('ego_pose', sd['ego_pose_token'])
         cs = nusc.get('calibrated_sensor', sd['calibrated_sensor_token'])
         global_from_car = transform_matrix(
@@ -286,15 +286,15 @@ def multisweep_lidar(nusc: NuScenes, ref_sample_data: dict,
         car_from_sensor = transform_matrix(
             cs['translation'], Quaternion(cs['rotation']), inverse=False)
         tm = ref_from_car @ car_from_global @ global_from_car @ car_from_sensor
-        xyz1 = np.concatenate(
-            [pts[:, :3], np.ones((len(pts), 1), np.float32)], axis=1)
-        pts[:, :3] = (xyz1 @ tm.T)[:, :3]
         time_lag = ref_time - 1e-6 * sd['timestamp']
-        all_points.append(pts)
-        all_times.append(np.full(len(pts), time_lag, np.float32))
+        # fused filter + transform + time stamp in the native engine
+        # (GIL-free; falls back to numpy without a toolchain)
+        nc = pts.shape[1]
+        all_points.append(native.sweep_transform(
+            pts, tm, min_dist=min_distance, time_lag=time_lag,
+            out_channels=nc + 1, time_col=nc))
         if not sd.get('prev'):
             break
         sd = nusc.get('sample_data', sd['prev'])
-    points = np.concatenate(all_points, axis=0)
-    times = np.concatenate(all_times, axis=0)
-    return points.T, times
+    stamped = np.concatenate(all_points, axis=0)
+    return stamped[:, :-1].T, stamped[:, -1]
