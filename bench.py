@@ -78,14 +78,17 @@ def main():
     def forward(a):
         out = model.apply(variables, **a,
                           rngs={'sample': jax.random.PRNGKey(0)})
-        return out['segmentation']
+        # scalar so the per-rep host readback (the sync) moves 4 bytes
+        return jnp.sum(out['segmentation'].astype(jnp.float32))
 
     # warmup / compile
-    forward(args)[0].block_until_ready()
+    float(forward(args))
+    # Per-rep scalar readback: on remote/tunneled device platforms
+    # block_until_ready can return before execution completes, which would
+    # time dispatch instead of compute.  float() forces a device round-trip.
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = forward(args)
-    out.block_until_ready()
+        float(forward(args))
     dt = (time.perf_counter() - t0) / reps
     value = 1.0 / dt
 

@@ -23,6 +23,8 @@ parity work.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,15 +32,42 @@ from flax import linen as nn
 from ..config import SparseEncoderConfig
 
 
+@functools.lru_cache(maxsize=None)
+def _pillar_finalize(c: int):
+    """Derived-statistics epilogue on raw per-pillar sums, laid out
+    (channels, bins).  Cached so repeated pillarize calls share one jit
+    cache entry for the binning kernel."""
+    def fin(acc):
+        count = acc[0:1]
+        denom = jnp.maximum(count, 1.0)
+        mean = acc[1:1 + c] / denom
+        z_mean = mean[2:3]
+        z_var = jnp.maximum(acc[1 + c:2 + c] / denom - z_mean * z_mean, 0.0)
+        occ = jnp.minimum(acc[2 + c:], 1.0)
+        out = jnp.concatenate(
+            [jnp.log1p(count), mean, jnp.sqrt(z_var), occ], axis=0)
+        return jnp.where(count > 0, out, 0.0)
+    return fin
+
+
 def pillarize(points: jnp.ndarray, point_mask: jnp.ndarray,
-              point_cloud_range, voxel_size, n_z_bins: int = 8):
+              point_cloud_range, voxel_size, n_z_bins: int = 8,
+              out_dtype=jnp.float32):
     """points (P, C>=3) -> dense pillar features (nx, ny, F).
 
-    Per-pillar statistics via one segment-sum/max pass (static shapes, no
-    sort): count, mean of all point features, mean z offset, max z, and an
-    ``n_z_bins`` occupancy histogram over the pillar's z column — the
+    Per-pillar statistics — count, mean of all point features, z spread, and
+    an ``n_z_bins`` occupancy histogram over the pillar's z column (the
     information the reference's 3-D conv stack extracts from its 41-deep
-    z axis, computed in closed form."""
+    z axis, computed in closed form) — via exactly ONE binned reduction.
+    All statistics are sums (the occupancy histogram rides a z-bin one-hot,
+    z spread comes from the (z, z^2) moments), so they share a single
+    (P, 1+C+1+n_z_bins)-channel bin-sum: scatter/update cost on TPU is per
+    update row, so one wide reduction is ~3x cheaper than the naive
+    count/mean/max/histogram formulation.  The reduction itself uses the
+    Pallas one-hot-matmul binning kernel (ops/pallas_bin.py) where available
+    and falls back to an XLA segment-sum."""
+    from ..ops.pallas_bin import bin_sum
+
     pc = jnp.asarray(point_cloud_range, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
     nx = int(round(float((point_cloud_range[3] - point_cloud_range[0])
@@ -54,32 +83,20 @@ def pillarize(points: jnp.ndarray, point_mask: jnp.ndarray,
     pid = jnp.where(inb, cx * ny + cy, nx * ny)          # trash bin
 
     n_pillars = nx * ny
-    ones = inb.astype(jnp.float32)
-    count = jax.ops.segment_sum(ones, pid, num_segments=n_pillars + 1)
-    denom = jnp.maximum(count, 1.0)
-
-    feat_sum = jax.ops.segment_sum(
-        jnp.where(inb[:, None], points, 0.0), pid, num_segments=n_pillars + 1)
-    feat_mean = feat_sum / denom[:, None]
-
     z = points[:, 2]
-    z_max = jax.ops.segment_max(jnp.where(inb, z, z_lo), pid,
-                                num_segments=n_pillars + 1)
     zbin = jnp.clip(((z - z_lo) / (z_hi - z_lo) * n_z_bins).astype(jnp.int32),
                     0, n_z_bins - 1)
-    occ_id = jnp.where(inb, pid * n_z_bins + zbin, n_pillars * n_z_bins)
-    occ = jax.ops.segment_sum(ones, occ_id,
-                              num_segments=n_pillars * n_z_bins + 1)
-    occ = jnp.minimum(occ[:n_pillars * n_z_bins].reshape(n_pillars, n_z_bins),
-                      1.0)
-
-    feats = jnp.concatenate([
-        jnp.log1p(count[:n_pillars, None]),
-        feat_mean[:n_pillars],
-        z_max[:n_pillars, None],
-        occ,
+    data = jnp.concatenate([
+        jnp.ones((points.shape[0], 1), jnp.float32),      # count
+        points,                                           # feature sums
+        (z * z)[:, None],                                 # z second moment
+        jax.nn.one_hot(zbin, n_z_bins, dtype=jnp.float32),  # z occupancy
     ], axis=-1)
-    feats = jnp.where(count[:n_pillars, None] > 0, feats, 0.0)
+    data = jnp.where(inb[:, None], data, 0.0)
+
+    feats = bin_sum(data, pid, n_bins=n_pillars + 1,
+                    finalize=_pillar_finalize(points.shape[1]),
+                    out_dtype=out_dtype, exact=False)[:n_pillars]
     return feats.reshape(nx, ny, -1)
 
 
@@ -109,12 +126,14 @@ class PillarBEVEncoder(nn.Module):
         flat = points.reshape(B * T, P, C)
         pmask = jnp.any(flat[..., :3] != 0, axis=-1)
 
-        grid = jax.vmap(lambda p, m: pillarize(
-            p, m, cfg.POINT_CLOUD_RANGE, cfg.VOXEL_SIZE, self.n_z_bins))(
-            flat, pmask)                                  # (BT, nx, ny, F)
-
-        # compute in bf16: HBM traffic dominates this branch
-        h = grid.astype(jnp.bfloat16)
+        # python loop, not vmap: pillarize uses the Pallas binning kernel
+        # (scalar-prefetch grids don't batch); the per-frame programs are
+        # identical so XLA compiles the body once.  bf16 straight out of the
+        # kernel epilogue: HBM traffic dominates this branch
+        h = jnp.stack([
+            pillarize(flat[i], pmask[i], cfg.POINT_CLOUD_RANGE,
+                      cfg.VOXEL_SIZE, self.n_z_bins, out_dtype=jnp.bfloat16)
+            for i in range(B * T)])                       # (BT, nx, ny, F)
 
         # Space-to-depth 4x straight out of the pillar grid: at 0.0625 m the
         # active density is ~0.3%, so dense full-res convs would do ~300x

@@ -50,13 +50,18 @@ def main():
 
     def timed(name, fn, *a):
         jfn = jax.jit(fn)
+        # separate jit that reduces to a scalar: float() readback is the only
+        # reliable sync on tunneled device platforms (block_until_ready can
+        # return before execution completes there)
+        jsum = jax.jit(lambda *a: jax.tree.reduce(
+            lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)), jfn(*a), 0.0))
         t0 = time.perf_counter()
         out = jax.block_until_ready(jfn(*a))
         compile_s = time.perf_counter() - t0
+        float(jsum(*a))
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = jfn(*a)
-        jax.block_until_ready(out)
+            float(jsum(*a))
         run_s = (time.perf_counter() - t0) / args.reps
         print(f'{name:28s} compile {compile_s:7.1f}s   run {run_s * 1e3:9.2f} ms',
               flush=True)
