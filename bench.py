@@ -35,6 +35,12 @@ def full_cfg():
     return cfg
 
 
+def _timed_once(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     preset = os.environ.get('STREAMINGFLOW_BENCH_PRESET', 'full')
     n_points = int(os.environ.get('STREAMINGFLOW_BENCH_POINTS', '80000'))
@@ -75,21 +81,30 @@ def main():
                 args[k] = to_bf16(args[k])
 
     @jax.jit
-    def forward(a):
+    def forward(chain, a):
         out = model.apply(variables, **a,
                           rngs={'sample': jax.random.PRNGKey(0)})
-        # scalar so the per-rep host readback (the sync) moves 4 bytes
-        return jnp.sum(out['segmentation'].astype(jnp.float32))
+        # scalar output, dependency-chained across reps: on remote/tunneled
+        # device platforms block_until_ready can return before execution
+        # completes, and a per-rep host readback would add its round-trip
+        # latency to every rep.  Chaining forces sequential device
+        # execution; ONE readback at the end syncs the whole run.
+        return chain * 0.0 + jnp.sum(out['segmentation'].astype(jnp.float32))
 
+    zero = jnp.zeros((), jnp.float32)
     # warmup / compile
-    float(forward(args))
-    # Per-rep scalar readback: on remote/tunneled device platforms
-    # block_until_ready can return before execution completes, which would
-    # time dispatch instead of compute.  float() forces a device round-trip.
+    float(forward(zero, args))
+    # host<->device scalar round-trip latency (subtracted from the run: the
+    # loop pays it exactly once)
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(zero))
+    rtt = min(_timed_once(lambda: float(tiny(zero))) for _ in range(3))
     t0 = time.perf_counter()
+    s = zero
     for _ in range(reps):
-        float(forward(args))
-    dt = (time.perf_counter() - t0) / reps
+        s = forward(s, args)
+    float(s)
+    dt = (time.perf_counter() - t0 - rtt) / reps
     value = 1.0 / dt
 
     print(json.dumps({

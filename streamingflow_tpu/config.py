@@ -96,6 +96,17 @@ class LidarModelConfig:
     # 'pillar8x' (dense, TPU-first default) or 'spconv8x' (exact sparse
     # engine, reference-parity path)
     BACKBONE: str = 'pillar8x'
+    # 1x1-project the 256-ch BEV features to the temporal width before the
+    # temporal blocks: the reference feeds 256 channels into the first
+    # TemporalBlock (temporal_model.py:29-34), which makes the lidar
+    # temporal model the most HBM-heavy stage on TPU; pre-reduction cuts
+    # that traffic ~4x.  Off for strict reference channel flow.
+    PRE_REDUCE_TEMPORAL: bool = True
+    # Loader contract: point groups arrive bucket-grouped by BEV bin tile
+    # (native.tile_sort_points, O(P) counting sort in the loader workers),
+    # letting the Pallas binning kernel skip its device-side sort.  The
+    # nuScenes/Lyft readers and the synthetic batcher honour this flag.
+    TILE_SORTED_POINTS: bool = True
 
 
 @_cfg

@@ -370,8 +370,17 @@ class FuturePredictionDataset:
         # no group may exceed the static capacity (points would be dropped)
         assert int(np.bincount(group_of[group_of >= 0],
                                minlength=1).max()) <= MAX_LIDAR_POINTS
-        padded, _ = native.group_pad(
+        padded, lens = native.group_pad(
             pc.T, group_of, n_groups=target, cap=MAX_LIDAR_POINTS)
+        if self.cfg.MODEL.LIDAR.TILE_SORTED_POINTS:
+            # loader contract: bucket-group each cloud by BEV bin tile so the
+            # device binning kernel skips its sort (ops/pallas_bin.py)
+            from ..ops.pallas_bin import BINS_PER_TILE
+            se = self.cfg.MODEL.SPARSE_ENCODER
+            for g in range(target):
+                padded[g] = native.tile_sort_points(
+                    padded[g], int(lens[g]), se.POINT_CLOUD_RANGE,
+                    se.VOXEL_SIZE, BINS_PER_TILE)
 
         selected_times = unique_times[::frame_skip]      # per raw group
         sel = np.zeros((target,), np.float64)

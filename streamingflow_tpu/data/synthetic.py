@@ -107,6 +107,16 @@ def make_batch(cfg: Config, batch_size: int = 1, seed: int = 0,
     for d in range(3):
         lo, hi = pc_range[d], pc_range[d + 3]
         pts[..., d] = pts[..., d] * (hi - lo) * 1.1 + lo  # ~10% out of range
+    if cfg.MODEL.LIDAR.TILE_SORTED_POINTS:
+        # honour the loader contract (MODEL.LIDAR.TILE_SORTED_POINTS): point
+        # groups arrive bucket-grouped by BEV bin tile
+        from .. import native
+        from ..ops.pallas_bin import BINS_PER_TILE
+        for b in range(B):
+            for t in range(n_lidar):
+                pts[b, t] = native.tile_sort_points(
+                    pts[b, t], n_points, pc_range,
+                    cfg.MODEL.SPARSE_ENCODER.VOXEL_SIZE, BINS_PER_TILE)
     points = pts
 
     seg = (rng.rand(B, T, Xb, Yb, 1) > 0.95).astype(np.int64)

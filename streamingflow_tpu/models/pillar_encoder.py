@@ -52,7 +52,7 @@ def _pillar_finalize(c: int):
 
 def pillarize(points: jnp.ndarray, point_mask: jnp.ndarray,
               point_cloud_range, voxel_size, n_z_bins: int = 8,
-              out_dtype=jnp.float32):
+              out_dtype=jnp.float32, presorted: bool = False):
     """points (P, C>=3) -> dense pillar features (nx, ny, F).
 
     Per-pillar statistics — count, mean of all point features, z spread, and
@@ -96,7 +96,8 @@ def pillarize(points: jnp.ndarray, point_mask: jnp.ndarray,
 
     feats = bin_sum(data, pid, n_bins=n_pillars + 1,
                     finalize=_pillar_finalize(points.shape[1]),
-                    out_dtype=out_dtype, exact=False)[:n_pillars]
+                    out_dtype=out_dtype, exact=False,
+                    presorted=presorted)[:n_pillars]
     return feats.reshape(nx, ny, -1)
 
 
@@ -115,9 +116,13 @@ class ConvBNReLU(nn.Module):
 
 
 class PillarBEVEncoder(nn.Module):
-    """points (B, T, P, 5) -> BEV features (B, T, X/8, Y/8, 2*out_channels)."""
+    """points (B, T, P, 5) -> BEV features (B, T, X/8, Y/8, 2*out_channels).
+
+    ``tile_sorted``: the loader guarantees bin-tile-grouped point order
+    (MODEL.LIDAR.TILE_SORTED_POINTS) — skips the device-side sort."""
     cfg: SparseEncoderConfig
     n_z_bins: int = 8
+    tile_sorted: bool = False
 
     @nn.compact
     def __call__(self, points, train: bool = False):
@@ -132,7 +137,8 @@ class PillarBEVEncoder(nn.Module):
         # kernel epilogue: HBM traffic dominates this branch
         h = jnp.stack([
             pillarize(flat[i], pmask[i], cfg.POINT_CLOUD_RANGE,
-                      cfg.VOXEL_SIZE, self.n_z_bins, out_dtype=jnp.bfloat16)
+                      cfg.VOXEL_SIZE, self.n_z_bins, out_dtype=jnp.bfloat16,
+                      presorted=self.tile_sorted)
             for i in range(B * T)])                       # (BT, nx, ny, F)
 
         # Space-to-depth 4x straight out of the pillar grid: at 0.0625 m the

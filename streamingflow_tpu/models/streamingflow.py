@@ -63,9 +63,16 @@ class StreamingFlow(nn.Module):
 
         if self.use_lidar:
             if cfg.MODEL.LIDAR.BACKBONE == 'pillar8x':
-                self.lidar_encoder = PillarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+                self.lidar_encoder = PillarBEVEncoder(
+                    cfg.MODEL.SPARSE_ENCODER,
+                    tile_sorted=cfg.MODEL.LIDAR.TILE_SORTED_POINTS)
             else:
                 self.lidar_encoder = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+            self.lidar_pre_reduce = cfg.MODEL.LIDAR.PRE_REDUCE_TEMPORAL
+            if self.lidar_pre_reduce:
+                self.lidar_reduce = nn.Conv(
+                    cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS, (1, 1),
+                    use_bias=False, name='lidar_reduce')
             self.temporal_model_lidar = TemporalModel(
                 receptive_field=self.receptive_field,
                 input_shape=bev_size,
@@ -166,6 +173,8 @@ class StreamingFlow(nn.Module):
         if self.use_lidar:
             # points: (B, T_l, P, C_pt) padded clouds
             feat = self.lidar_encoder(points, train=train)  # (B,T_l,X,Y,256)
+            if self.lidar_pre_reduce:
+                feat = self.lidar_reduce(feat)
             lidar_states = self.temporal_model_lidar(feat, train=train)
             states = lidar_states
 

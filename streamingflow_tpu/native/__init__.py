@@ -83,6 +83,8 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.sf_dynamic_scatter.restype = i64
     lib.sf_group_pad.argtypes = [f32p, i64, i32, i32p, i32, i64, f32p, i32p]
     lib.sf_group_pad.restype = None
+    lib.sf_tile_sort_points.argtypes = [f32p, i64, i32, f32p, f32p, i64]
+    lib.sf_tile_sort_points.restype = None
     _LIB = lib
     return _LIB
 
@@ -218,6 +220,40 @@ def dynamic_scatter(points: np.ndarray, point_cloud_range, voxel_size,
                        < counts[:, None, None], vox, -np.inf)
         red = big.max(1)
     return red.astype(np.float32), coords, counts
+
+
+def tile_sort_points(points: np.ndarray, n_valid: int, point_cloud_range,
+                     voxel_size, bins_per_tile: int) -> np.ndarray:
+    """Group the first ``n_valid`` rows of (N, C>=3) float32 points by BEV
+    bin tile in place (stable counting sort; within-tile order free).
+
+    This is the loader half of the tile-sorted point contract consumed by
+    the Pallas binning kernel (ops/pallas_bin.py): the kernel can then skip
+    its device-side sort.  Out-of-range points land in the last bucket (the
+    device trash bin's tile).  Returns the array."""
+    pts = np.ascontiguousarray(points, np.float32)
+    n_valid = int(min(n_valid, pts.shape[0]))
+    if n_valid <= 0:
+        return pts
+    rng = np.ascontiguousarray(point_cloud_range, np.float32)
+    vsz = np.ascontiguousarray(voxel_size, np.float32)
+    lib = _lib()
+    if lib is not None:
+        lib.sf_tile_sort_points(pts, n_valid, pts.shape[1], rng, vsz,
+                                bins_per_tile)
+        return pts
+    head = pts[:n_valid]
+    nx = int(round((rng[3] - rng[0]) / vsz[0]))
+    ny = int(round((rng[4] - rng[1]) / vsz[1]))
+    cx = np.floor((head[:, 0] - rng[0]) / vsz[0]).astype(np.int64)
+    cy = np.floor((head[:, 1] - rng[1]) / vsz[1]).astype(np.int64)
+    ok = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+          & (head[:, 2] >= rng[2]) & (head[:, 2] < rng[5])
+          & np.isfinite(head[:, :3]).all(axis=1))
+    n_tiles = (nx * ny + 1 + bins_per_tile - 1) // bins_per_tile
+    tile = np.where(ok, (cx * ny + cy) // bins_per_tile, n_tiles - 1)
+    pts[:n_valid] = head[np.argsort(tile, kind='stable')]
+    return pts
 
 
 def group_pad(points: np.ndarray, group_of: np.ndarray, n_groups: int,

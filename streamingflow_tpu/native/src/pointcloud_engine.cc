@@ -209,6 +209,56 @@ int64_t sf_dynamic_scatter(const float* pts, int64_t n, int32_t n_feat,
   return n_vox;
 }
 
+// Bucket-sort points by BEV bin tile (counting sort, O(n)).  The TPU
+// binning kernel (streamingflow_tpu/ops/pallas_bin.py) only needs points
+// *grouped by bin tile* (within-tile order is irrelevant: it compares
+// global bin ids); doing the grouping here — in loader worker threads,
+// overlapped with device compute — removes the device-side bitonic sort
+// from the hot path.  In-place on the first n rows ((n, stride) float32,
+// xyz leading).  Out-of-range / non-finite points go to the last bucket
+// (the device maps them to the trash bin, which lives in the last tile).
+// bins_per_tile must match pallas_bin.BINS_PER_TILE.
+void sf_tile_sort_points(float* pts, int64_t n, int32_t stride,
+                         const float* pc_range, const float* voxel_size,
+                         int64_t bins_per_tile) {
+  if (n <= 0) return;
+  const float x0 = pc_range[0], y0 = pc_range[1], z0 = pc_range[2];
+  const float x1 = pc_range[3], y1 = pc_range[4], z1 = pc_range[5];
+  const float vx = voxel_size[0], vy = voxel_size[1];
+  const int64_t nx = static_cast<int64_t>(
+      std::llround((static_cast<double>(x1) - x0) / voxel_size[0]));
+  const int64_t ny = static_cast<int64_t>(
+      std::llround((static_cast<double>(y1) - y0) / voxel_size[1]));
+  const int64_t n_bins = nx * ny + 1;  // + trash
+  const int64_t n_tiles = (n_bins + bins_per_tile - 1) / bins_per_tile;
+
+  std::vector<int32_t> bucket(n);
+  std::vector<int64_t> counts(n_tiles + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = pts + i * stride;
+    // float math mirroring the device quantisation (jnp.floor((x-lo)/v))
+    const int64_t cx = static_cast<int64_t>(std::floor((p[0] - x0) / vx));
+    const int64_t cy = static_cast<int64_t>(std::floor((p[1] - y0) / vy));
+    int64_t tile;
+    if (cx < 0 || cx >= nx || cy < 0 || cy >= ny || p[2] < z0 || p[2] >= z1 ||
+        !(std::isfinite(p[0]) && std::isfinite(p[1]) && std::isfinite(p[2]))) {
+      tile = n_tiles - 1;  // trash bin nx*ny rides the last tile
+    } else {
+      tile = (cx * ny + cy) / bins_per_tile;
+    }
+    bucket[i] = static_cast<int32_t>(tile);
+    ++counts[tile + 1];
+  }
+  for (int64_t t = 0; t < n_tiles; ++t) counts[t + 1] += counts[t];
+  std::vector<float> tmp(static_cast<size_t>(n) * stride);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t dst = counts[bucket[i]]++;
+    std::memcpy(tmp.data() + dst * stride, pts + i * stride,
+                sizeof(float) * stride);
+  }
+  std::memcpy(pts, tmp.data(), sizeof(float) * n * stride);
+}
+
 // Gather per-sweep runs into fixed-capacity padded groups: the static-shape
 // packing at the end of the loader (reference NuscenesData.py:869-873 pads
 // to 350k).  src: (n, stride); group_of: (n,) int32 in [0, n_groups);

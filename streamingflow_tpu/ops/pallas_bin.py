@@ -111,9 +111,10 @@ def _bin_sum_kernel(off_ref, data_ref, out_ref, acc_ref, chunk_ref, sem,
 
 @functools.partial(jax.jit, static_argnames=('n_bins', 'finalize',
                                              'out_dtype', 'exact',
-                                             'interpret'))
+                                             'presorted', 'interpret'))
 def _bin_sum_pallas(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
                     finalize=None, out_dtype=jnp.float32, exact: bool = True,
+                    presorted: bool = False,
                     interpret: bool = False) -> jnp.ndarray:
     p, c = data.shape
     n_tiles = -(-n_bins // BINS_PER_TILE)
@@ -124,10 +125,16 @@ def _bin_sum_pallas(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
 
     assert c + 1 <= 128, 'bin_sum supports up to 127 feature channels'
     ids = jnp.clip(ids, 0, n_bins - 1).astype(jnp.int32)
-    ids_s, order = jax.lax.sort_key_val(
-        ids, jnp.arange(p, dtype=jnp.int32))
+    if presorted:
+        # tile-sorted input contract (native.tile_sort_points): rows already
+        # grouped by bin tile — no device sort, no gather
+        ids_s, rows = ids, data
+    else:
+        ids_s, order = jax.lax.sort_key_val(
+            ids, jnp.arange(p, dtype=jnp.int32))
+        rows = data[order]
     packed = jnp.concatenate(
-        [ids_s[:, None].astype(jnp.float32), data[order].astype(jnp.float32)],
+        [ids_s[:, None].astype(jnp.float32), rows.astype(jnp.float32)],
         axis=1)
     # rows pad so every chunk-aligned pl.ds(base, CHUNK) stays in bounds
     # (pad rows carry id -1 and match no bin column); lanes pad to the
@@ -137,8 +144,10 @@ def _bin_sum_pallas(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
     packed = jnp.concatenate([packed, pad], axis=0)
     packed = jnp.pad(packed, ((0, 0), (0, 128 - (c + 1))))
 
-    bounds = (jnp.arange(n_tiles + 1) * BINS_PER_TILE).astype(jnp.int32)
-    offsets = jnp.searchsorted(ids_s, bounds).astype(jnp.int32)
+    # per-tile point ranges; tile ids are nondecreasing in both modes (the
+    # tile-sorted contract guarantees exactly this granularity)
+    tids = ids_s // BINS_PER_TILE
+    offsets = jnp.searchsorted(tids, jnp.arange(n_tiles + 1)).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -165,7 +174,7 @@ def _bin_sum_pallas(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
 
 def bin_sum(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
             finalize=None, out_dtype=jnp.float32, exact: bool = True,
-            interpret: bool = False) -> jnp.ndarray:
+            presorted: bool = False, interpret: bool = False) -> jnp.ndarray:
     """Sum rows of ``data`` (P, C) into ``n_bins`` bins by ``ids`` (P,).
 
     Out-of-range ids are clipped (route drop-rows to a dedicated trash bin
@@ -180,7 +189,7 @@ def bin_sum(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
     if interpret or _use_pallas():
         return _bin_sum_pallas(data, ids, n_bins, finalize=finalize,
                                out_dtype=out_dtype, exact=exact,
-                               interpret=interpret)
+                               presorted=presorted, interpret=interpret)
     ids = jnp.clip(ids, 0, n_bins - 1)
     out = jax.ops.segment_sum(data.astype(jnp.float32), ids,
                               num_segments=n_bins)

@@ -148,3 +148,47 @@ def test_voxelize_agrees_with_xla_voxelizer():
                                   coords[order])
     np.testing.assert_allclose(np.asarray(vs.feats)[:n_valid], red[order],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tile_sort_points_groups_by_tile():
+    from streamingflow_tpu.ops.pallas_bin import BINS_PER_TILE
+    rng6 = [-4, -4, -4, 4, 4, 4]
+    vsz = [0.5, 0.5, 8.0]
+    nx = ny = 16
+    pts = RNG.uniform(-5, 5, size=(300, 5)).astype(np.float32)  # some OOR
+    out = native.tile_sort_points(pts.copy(), 300, rng6, vsz, BINS_PER_TILE)
+    # same multiset of rows
+    np.testing.assert_allclose(
+        np.sort(out.view('f4').reshape(-1, 5), axis=0),
+        np.sort(pts, axis=0))
+    cx = np.floor((out[:, 0] + 4) / 0.5).astype(np.int64)
+    cy = np.floor((out[:, 1] + 4) / 0.5).astype(np.int64)
+    ok = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+          & (out[:, 2] >= -4) & (out[:, 2] < 4))
+    n_tiles = (nx * ny + 1 + BINS_PER_TILE - 1) // BINS_PER_TILE
+    tile = np.where(ok, (cx * ny + cy) // BINS_PER_TILE, n_tiles - 1)
+    assert (np.diff(tile) >= 0).all(), 'tiles must be nondecreasing'
+
+
+def test_tile_sort_native_matches_fallback(monkeypatch):
+    from streamingflow_tpu.ops.pallas_bin import BINS_PER_TILE
+    rng6 = [-4, -4, -4, 4, 4, 4]
+    vsz = [0.125, 0.125, 8.0]
+    pts = RNG.uniform(-5, 5, size=(200, 5)).astype(np.float32)
+    a = native.tile_sort_points(pts.copy(), 200, rng6, vsz, 32)
+    monkeypatch.setattr(native, '_LIB', None)
+    monkeypatch.setattr(native, '_TRIED', True)
+    b = native.tile_sort_points(pts.copy(), 200, rng6, vsz, 32)
+    # same per-tile membership (within-tile order may differ)
+    nx = ny = 64
+    def tiles(arr):
+        cx = np.floor((arr[:, 0] + 4) / 0.125).astype(np.int64)
+        cy = np.floor((arr[:, 1] + 4) / 0.125).astype(np.int64)
+        ok = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+              & (arr[:, 2] >= -4) & (arr[:, 2] < 4))
+        nt = (nx * ny + 1 + 31) // 32
+        return np.where(ok, (cx * ny + cy) // 32, nt - 1)
+    np.testing.assert_array_equal(tiles(a), tiles(b))
+    for t in np.unique(tiles(a)):
+        np.testing.assert_allclose(
+            np.sort(a[tiles(a) == t], axis=0), np.sort(b[tiles(b) == t], axis=0))

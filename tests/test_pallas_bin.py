@@ -99,3 +99,20 @@ def test_pillarize_uses_bin_sum_consistently():
     np.testing.assert_allclose(cell[6], np.std(pts[:2, 2]), rtol=1e-4)
     assert out[2, 2, 0] > 0          # third point's pillar occupied
     assert np.abs(out[1, 1]).sum() == 0.0
+
+
+def test_presorted_matches_sorted_path():
+    """Tile-grouped input + presorted=True equals the sorting path."""
+    from streamingflow_tpu import native
+
+    n_bins = 3 * BINS_PER_TILE
+    p, c = 1500, 6
+    ids = RNG.integers(0, n_bins, p).astype(np.int32)
+    data = RNG.normal(size=(p, c)).astype(np.float32)
+    # group rows by tile on the host (order within tile arbitrary)
+    order = np.argsort(ids // BINS_PER_TILE, kind='stable')
+    got = bin_sum(jnp.asarray(data[order]), jnp.asarray(ids[order]), n_bins,
+                  presorted=True, interpret=True)
+    ref = bin_sum(jnp.asarray(data), jnp.asarray(ids), n_bins, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-4)

@@ -22,6 +22,8 @@ def main():
     ap.add_argument('--preset', default='full')
     ap.add_argument('--reps', type=int, default=5)
     ap.add_argument('--points', type=int, default=80000)
+    ap.add_argument('--bf16', action='store_true',
+                    help='cast weights/inputs to bf16 like bench.py')
     args = ap.parse_args()
 
     from bench import full_cfg
@@ -46,23 +48,42 @@ def main():
     jax.block_until_ready(variables)
     print(f'init done in {time.perf_counter() - t0:.1f}s', flush=True)
 
+    if args.bf16:
+        def to_bf16(v):
+            return (v.astype(jnp.bfloat16)
+                    if hasattr(v, 'dtype') and v.dtype == jnp.float32 else v)
+        variables = jax.tree.map(to_bf16, variables)
+        for k in ('image', 'points'):
+            if margs.get(k) is not None:
+                margs[k] = to_bf16(margs[k])
+
     rf = cfg.TIME_RECEPTIVE_FIELD
+
+    # host<->device scalar round-trip latency: on tunneled device platforms
+    # block_until_ready can return before execution completes, so the only
+    # reliable sync is a scalar readback — whose fixed RTT must be paid once
+    # per measurement, not once per rep (reps are dependency-chained).
+    tiny = jax.jit(lambda s: s + 1.0)
+    zero = jnp.zeros((), jnp.float32)
+    float(tiny(zero))
+    rtt = min((lambda t0: (float(tiny(zero)), time.perf_counter() - t0))(
+        time.perf_counter())[1] for _ in range(3))
+    print(f'readback rtt {rtt * 1e3:.1f} ms', flush=True)
 
     def timed(name, fn, *a):
         jfn = jax.jit(fn)
-        # separate jit that reduces to a scalar: float() readback is the only
-        # reliable sync on tunneled device platforms (block_until_ready can
-        # return before execution completes there)
-        jsum = jax.jit(lambda *a: jax.tree.reduce(
+        jchain = jax.jit(lambda s, *a: s * 0.0 + jax.tree.reduce(
             lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)), jfn(*a), 0.0))
         t0 = time.perf_counter()
         out = jax.block_until_ready(jfn(*a))
         compile_s = time.perf_counter() - t0
-        float(jsum(*a))
+        float(jchain(zero, *a))
         t0 = time.perf_counter()
+        s = zero
         for _ in range(args.reps):
-            float(jsum(*a))
-        run_s = (time.perf_counter() - t0) / args.reps
+            s = jchain(s, *a)
+        float(s)
+        run_s = (time.perf_counter() - t0 - rtt) / args.reps
         print(f'{name:28s} compile {compile_s:7.1f}s   run {run_s * 1e3:9.2f} ms',
               flush=True)
         return out
