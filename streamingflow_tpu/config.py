@@ -38,6 +38,10 @@ class DatasetConfig:
     FILTER_INVISIBLE_VEHICLES: bool = True
     SAVE_DIR: str = 'datas'
     USE_MULTISWEEP: bool = False
+    # sweeps per keyframe interval for multisweep labels (20 Hz lidar over
+    # 0.5 s keyframes -> 10; reference hard-codes nsweeps=10,
+    # NuscenesData.py:327)
+    MULTISWEEP_NSWEEPS: int = 10
     FRAME_SKIP: int = 4
 
 

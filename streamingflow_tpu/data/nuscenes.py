@@ -20,8 +20,9 @@ from .. import native
 from ..config import Config
 from .labels import convert_instance_mask_to_center_and_offset_label
 from .nuscenes_sdk import (Box, NuScenes, NuScenesCanBus, Quaternion,
-                           create_splits_scenes, locate_message,
-                           multisweep_lidar, quaternion_yaw, transform_matrix)
+                           create_splits_scenes, instance_boxes_over_sweeps,
+                           locate_message, multisweep_lidar, quaternion_yaw,
+                           transform_matrix)
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -266,6 +267,76 @@ class FuturePredictionDataset:
         return (segmentation.astype(np.int64), instance.astype(np.int64),
                 pedestrian.astype(np.int64), instance_map)
 
+    def _poly_from_box(self, box) -> np.ndarray:
+        """BEV polygon of an ego-frame box (reference
+        _get_poly_region_in_image_box_input, NuscenesData.py:385-395)."""
+        pts = box.bottom_corners()[:2].T
+        pts = np.round((pts - self.bev_start_position[:2]
+                        + self.bev_resolution[:2] / 2.0)
+                       / self.bev_resolution[:2]).astype(np.int32)
+        return pts[:, ::-1]
+
+    def get_label_multisweep(self, rec, instance_map, in_pred,
+                             nsweeps: int = 10):
+        """Per-sweep labels on the 0.05 s sweep lattice after keyframe `rec`.
+
+        Sweep 0 is the keyframe itself; boxes at intermediate sweeps are
+        devkit-interpolated (nuscenes_sdk.get_instance_box).  Reference:
+        get_birds_eye_view_label_multisweep (NuscenesData.py:323-378).
+        Returns (segmentation, instance, pedestrian) each (n_sweeps, X, Y)
+        plus the per-sweep time lags (ref - sweep, seconds, <= 0)."""
+        sd = self.nusc.get('sample_data', rec['data']['LIDAR_TOP'])
+        nx, ny = int(self.bev_dimension[0]), int(self.bev_dimension[1])
+
+        # the sweep lattice itself is annotation-independent
+        lags, walk = [], sd
+        ref_time = 1e-6 * sd['timestamp']
+        for _ in range(nsweeps):
+            lags.append(ref_time - 1e-6 * walk['timestamp'])
+            if not walk.get('next'):
+                break
+            walk = self.nusc.get('sample_data', walk['next'])
+
+        per_ann = []
+        for ann_token in rec['anns']:
+            ann = self.nusc.get('sample_annotation', ann_token)
+            if (self.cfg.DATASET.FILTER_INVISIBLE_VEHICLES
+                    and int(ann['visibility_token']) == 1 and not in_pred):
+                continue
+            if in_pred and ann['instance_token'] not in instance_map:
+                continue
+            if ('vehicle' not in ann['category_name']
+                    and 'human' not in ann['category_name']):
+                continue
+            boxes, _ = instance_boxes_over_sweeps(
+                self.nusc, sd, ann['instance_token'], nsweeps)
+            per_ann.append((ann, boxes))
+
+        n_sweeps = len(lags)
+        segmentation = np.zeros((n_sweeps, nx, ny))
+        pedestrian = np.zeros((n_sweeps, nx, ny))
+        instance = np.zeros((n_sweeps, nx, ny))
+        for t in range(n_sweeps):
+            for ann, boxes in per_ann:
+                if t >= len(boxes) or boxes[t] is None:
+                    continue
+                poly = self._poly_from_box(boxes[t])
+                if 'vehicle' in ann['category_name']:
+                    if ann['instance_token'] not in instance_map:
+                        instance_map[ann['instance_token']] = \
+                            len(instance_map) + 1
+                    _fill_poly(instance[t], poly,
+                               instance_map[ann['instance_token']])
+                    _fill_poly(segmentation[t], poly, 1.0)
+                else:
+                    if ann['instance_token'] not in instance_map:
+                        instance_map[ann['instance_token']] = \
+                            len(instance_map) + 1
+                    _fill_poly(pedestrian[t], poly, 1.0)
+        return (segmentation.astype(np.int64), instance.astype(np.int64),
+                pedestrian.astype(np.int64), instance_map,
+                np.asarray(lags, np.float64))
+
     # ------------------------------------------------------------- egomotion
     def get_future_egomotion(self, rec, index) -> np.ndarray:
         """6-DoF pose t -> t+1 in the lidar keyframe frames
@@ -408,6 +479,8 @@ class FuturePredictionDataset:
         ref_sd = self.nusc.get('sample_data', rec_ref['data']['LIDAR_TOP'])
         current_time = ref_sd['timestamp']
 
+        use_ms = cfg.DATASET.USE_MULTISWEEP
+        n_seq = len(self.indices[index])
         for i, index_t in enumerate(self.indices[index]):
             in_pred = i >= rf
             rec = self.ixes[index_t]
@@ -420,14 +493,33 @@ class FuturePredictionDataset:
                     data['depths'].append(depths)
                 data['camera_timestamp'].append(rec['timestamp'])
 
-            seg, inst, ped, instance_map = self.get_label(rec, instance_map,
-                                                          in_pred)
-            data['segmentation'].append(seg[..., None])
-            data['instance'].append(inst)
-            data['pedestrian'].append(ped[..., None])
-            data['future_egomotion'].append(
-                self.get_future_egomotion(rec, index_t))
-            data['target_timestamp'].append(rec['timestamp'])
+            if use_ms and rf - 1 <= i < n_seq - 1:
+                # expand this keyframe into per-sweep labels on the 0.05 s
+                # lattice (reference NuscenesData.py:819-841: static egomotion
+                # between sweeps, the real keyframe egomotion on the last)
+                seg_ms, inst_ms, ped_ms, instance_map, lags = \
+                    self.get_label_multisweep(
+                        rec, instance_map, in_pred,
+                        nsweeps=cfg.DATASET.MULTISWEEP_NSWEEPS)
+                ego_kf = self.get_future_egomotion(rec, index_t)
+                for s in range(len(lags)):
+                    data['segmentation'].append(seg_ms[s][..., None])
+                    data['instance'].append(inst_ms[s])
+                    data['pedestrian'].append(ped_ms[s][..., None])
+                    last = s == len(lags) - 1
+                    data['future_egomotion'].append(
+                        ego_kf if last else np.zeros(6, np.float32))
+                    data['target_timestamp'].append(
+                        rec['timestamp'] - 1e6 * lags[s])
+            else:
+                seg, inst, ped, instance_map = self.get_label(
+                    rec, instance_map, in_pred)
+                data['segmentation'].append(seg[..., None])
+                data['instance'].append(inst)
+                data['pedestrian'].append(ped[..., None])
+                data['future_egomotion'].append(
+                    self.get_future_egomotion(rec, index_t))
+                data['target_timestamp'].append(rec['timestamp'])
 
             if i == rf - 1:
                 gt_traj, command = self.get_gt_trajectory(rec, index_t)

@@ -67,6 +67,22 @@ class Quaternion:
     def rotate(self, v: np.ndarray) -> np.ndarray:
         return self.rotation_matrix @ np.asarray(v, np.float64)
 
+    @staticmethod
+    def slerp(q0: 'Quaternion', q1: 'Quaternion', t: float) -> 'Quaternion':
+        """Spherical interpolation (shortest path), t in [0, 1]."""
+        a = q0.q / np.linalg.norm(q0.q)
+        b = q1.q / np.linalg.norm(q1.q)
+        dot = float(np.dot(a, b))
+        if dot < 0.0:
+            b, dot = -b, -dot
+        if dot > 0.9995:  # nearly parallel: lerp
+            out = a + t * (b - a)
+            return Quaternion(out / np.linalg.norm(out))
+        theta = np.arccos(np.clip(dot, -1.0, 1.0))
+        s = np.sin(theta)
+        return Quaternion((np.sin((1 - t) * theta) / s) * a
+                          + (np.sin(t * theta) / s) * b)
+
 
 def quaternion_yaw(q: Quaternion) -> float:
     """Yaw of a quaternion around +z (devkit eval/common/utils semantics)."""
@@ -242,6 +258,83 @@ def locate_message(utimes, utime):
     if i == len(utimes) or (i > 0 and utime - utimes[i - 1] < utimes[i] - utime):
         i -= 1
     return i
+
+
+# -------------------------------------------------------- box interpolation
+def get_instance_box(nusc: NuScenes, sample_data_token: str,
+                     instance_token: str) -> Optional[Box]:
+    """Global-frame box of an instance at a sample_data's timestamp.
+
+    Devkit ``NuScenes.get_instance_box`` semantics (used by the reference's
+    forked devkit for per-sweep labels, utils/data_classes.py:713-796): at a
+    keyframe, the annotation itself; at an intermediate sweep, linear
+    interpolation of center and slerp of orientation between the previous
+    and current keyframes' annotations.  Returns None when the instance is
+    not annotated at the bracketing keyframe(s)."""
+    sd = nusc.get('sample_data', sample_data_token)
+    sample = nusc.get('sample', sd['sample_token'])
+
+    def ann_of(sample_rec):
+        for tok in sample_rec['anns']:
+            ann = nusc.get('sample_annotation', tok)
+            if ann['instance_token'] == instance_token:
+                return ann
+        return None
+
+    curr = ann_of(sample)
+    if sd.get('is_key_frame'):
+        if curr is None:
+            return None
+        return Box(curr['translation'], curr['size'],
+                   Quaternion(curr['rotation']))
+
+    prev_sample = (nusc.get('sample', sample['prev'])
+                   if sample.get('prev') else None)
+    prev = ann_of(prev_sample) if prev_sample is not None else None
+    if curr is None and prev is None:
+        return None
+    if curr is None or prev is None:
+        a = curr if curr is not None else prev
+        return Box(a['translation'], a['size'], Quaternion(a['rotation']))
+    t0, t1 = prev_sample['timestamp'], sample['timestamp']
+    t = 0.0 if t1 == t0 else np.clip(
+        (sd['timestamp'] - t0) / (t1 - t0), 0.0, 1.0)
+    center = ((1 - t) * np.asarray(prev['translation'], np.float64)
+              + t * np.asarray(curr['translation'], np.float64))
+    rot = Quaternion.slerp(Quaternion(prev['rotation']),
+                           Quaternion(curr['rotation']), float(t))
+    return Box(center, curr['size'], rot)
+
+
+def instance_boxes_over_sweeps(nusc: NuScenes, ref_sample_data: dict,
+                               instance_token: str, nsweeps_forward: int
+                               ) -> Tuple[list, list]:
+    """Per-sweep boxes of an instance, mapped to the reference ego frame.
+
+    Mirrors the forked devkit's get_instance_boxes_multisweep_sample_data
+    (reference utils/data_classes.py:713-796, forward walk): sweep 0 is the
+    reference sample_data itself, then the ``next`` chain; boxes translate/
+    rotate into the reference ego-pose frame (full quaternion).  Returns
+    (boxes (len <= nsweeps, entries may be None), time_lags (ref - sweep,
+    seconds, <= 0))."""
+    ref_pose = nusc.get('ego_pose', ref_sample_data['ego_pose_token'])
+    ref_time = 1e-6 * ref_sample_data['timestamp']
+    inv_rot = Quaternion(ref_pose['rotation']).inverse
+    neg_trans = -np.asarray(ref_pose['translation'], np.float64)
+
+    boxes, lags = [], []
+    sd = ref_sample_data
+    for _ in range(nsweeps_forward):
+        box = get_instance_box(nusc, sd['token'], instance_token)
+        if box is not None:
+            box.translate(neg_trans)
+            box.rotate(inv_rot)
+        boxes.append(box)
+        lags.append(ref_time - 1e-6 * sd['timestamp'])
+        if not sd.get('next'):
+            break
+        sd = nusc.get('sample_data', sd['next'])
+    return boxes, lags
 
 
 # ------------------------------------------------------------------ lidar i/o

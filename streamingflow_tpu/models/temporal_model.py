@@ -25,6 +25,11 @@ class TemporalModel(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: (B, T, H, W, C) -> (B, T, H, W, start_out_channels)."""
         h, w = self.input_shape
+        assert x.shape[2:4] == (h, w), (
+            f'temporal model input spatial {x.shape[2:4]} != BEV grid '
+            f'{(h, w)} — check LIFT.*_BOUND vs SPARSE_ENCODER '
+            f'POINT_CLOUD_RANGE/VOXEL_SIZE (both branches must land on the '
+            f'same BEV grid)')
         n_temporal_layers = self.receptive_field - 1
         out_channels = self.start_out_channels
         for _ in range(n_temporal_layers):

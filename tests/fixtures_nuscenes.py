@@ -132,6 +132,13 @@ def make_mini_nuscenes(root: str, version: str = 'v1.0-mini',
                        'log_token': 'log0', 'nbr_samples': n_samples,
                        'first_sample_token': first, 'last_sample_token': last})
 
+    # derive next pointers from the prev chains (needed by the multisweep
+    # label path, which walks forward over the 0.05 s sweep lattice)
+    by_tok = {sd['token']: sd for sd in sample_datas}
+    for sd in sample_datas:
+        if sd['prev']:
+            by_tok[sd['prev']]['next'] = sd['token']
+
     tables = {
         'scene': scenes, 'sample': samples, 'sample_data': sample_datas,
         'ego_pose': ego_poses, 'calibrated_sensor': calibrated,

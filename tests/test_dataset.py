@@ -148,3 +148,64 @@ def test_dataloader_batching(nusc, cfg):
     batch = next(iter(dl))
     assert batch['image'].shape[0] == 2
     assert batch['points'].ndim == 4
+
+
+def test_multisweep_labels(nusc, cfg):
+    """USE_MULTISWEEP expands frames [rf-1, seq-1) into per-sweep labels on
+    the sweep lattice with interpolated boxes (reference
+    NuscenesData.py:819-841, get_birds_eye_view_label_multisweep:323-378)."""
+    import copy
+
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+
+    ms_cfg = copy.deepcopy(cfg)
+    ms_cfg.DATASET.USE_MULTISWEEP = True
+    ms_cfg.DATASET.MULTISWEEP_NSWEEPS = 2   # fixture has 1 sweep between kf
+    ds = FuturePredictionDataset(nusc, 0, ms_cfg)
+    item = ds[0]
+
+    rf, F = ms_cfg.TIME_RECEPTIVE_FIELD, ms_cfg.N_FUTURE_FRAMES
+    seq = rf + F
+    n_exp = (rf - 1) + (seq - rf) * 2 + 1       # expanded target count
+    assert item['target_timestamp'].shape == (n_exp,)
+    assert item['segmentation'].shape[0] == n_exp
+    assert item['instance'].shape[0] == n_exp
+    assert item['future_egomotion'].shape == (n_exp, 6)
+
+    tt = item['target_timestamp']
+    assert (np.diff(tt) > 0).all()              # strictly increasing times
+    # expanded region has sub-keyframe spacing (fixture sweeps at 0.05 s
+    # before the next keyframe -> gaps of 0.45/0.05 s)
+    gaps = np.diff(tt[rf - 1:])
+    assert gaps.min() < 0.45 + 1e-6
+    # intermediate sweeps carry static egomotion; keyframe steps move ~2 m
+    ego = item['future_egomotion']
+    assert np.abs(ego).sum() > 0
+    zero_rows = np.abs(ego).sum(axis=1) < 1e-6
+    assert zero_rows.any()
+    # labels still rasterise the moving box, including at interpolated sweeps
+    assert item['segmentation'].sum() > 0
+    exp_slice = item['segmentation'][rf - 1:rf - 1 + 2]
+    assert exp_slice.sum() > 0
+
+
+def test_interpolated_box_moves_between_keyframes(nusc):
+    """Devkit-style interpolation: a sweep between keyframes gets a box
+    between the bracketing annotations."""
+    from streamingflow_tpu.data.nuscenes_sdk import get_instance_box
+
+    sample1 = [s for s in nusc.sample
+               if s['scene_token'] == 'scene0'][1]     # second keyframe
+    sd_tok = sample1['data']['LIDAR_TOP']
+    sd = nusc.get('sample_data', sd_tok)
+    prev_sd = nusc.get('sample_data', sd['prev'])      # the sweep before it
+    assert not prev_sd['is_key_frame']
+    inst = nusc.sample_annotation[0]['instance_token']
+
+    box_key = get_instance_box(nusc, sd_tok, inst)
+    box_sweep = get_instance_box(nusc, prev_sd['token'], inst)
+    assert box_key is not None and box_sweep is not None
+    # fixture box moves +2 m in x per 0.5 s keyframe; the sweep 0.05 s before
+    # the keyframe sits 0.2 m behind it
+    dx = box_key.center[0] - box_sweep.center[0]
+    np.testing.assert_allclose(dx, 2.0 * 0.1, atol=1e-6)
