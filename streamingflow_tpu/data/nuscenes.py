@@ -193,21 +193,34 @@ class FuturePredictionDataset:
             extrinsics.append(sensor_to_lidar)
 
             if self.cfg.LIFT.GT_DEPTH:
-                depths.append(self._get_depth(cam_sample, orig_size, crop))
+                depths.append(self._get_depth(rec, cam_sample, orig_size,
+                                              crop))
 
         return (np.stack(images), np.stack(intrinsics), np.stack(extrinsics),
                 np.stack(depths) if depths else None)
 
-    def _get_depth(self, cam_sample, orig_size, crop) -> np.ndarray:
-        """Sparse lidar depth projected into the camera image, resized
-        like the RGB (reference NuscenesData.py:271-290)."""
-        path = os.path.join(self.dataroot, 'depth_gt',
-                            os.path.split(cam_sample['filename'])[-1] + '.bin')
+    def _get_depth(self, rec, cam_sample, orig_size, crop) -> np.ndarray:
+        """Sparse lidar depth in the camera image, resized like the RGB.
+
+        Two sources (reference NuscenesData.py:271-290): cached ``depth_gt``
+        .bin files, or — with cfg.GEN.GEN_DEPTH — online projection of the
+        keyframe lidar sweep (get_depth_from_lidar:313-321)."""
         depth = np.full((orig_size[1], orig_size[0]), -1.0, np.float32)
-        if os.path.exists(path):
-            cam_depth = np.fromfile(path, np.float32).reshape(-1, 3)
-            coords = cam_depth[:, :2].astype(np.int16)
-            depth[coords[:, 1], coords[:, 0]] = cam_depth[:, 2]
+        if self.cfg.GEN.GEN_DEPTH:
+            from .nuscenes_sdk import map_pointcloud_to_image
+            lidar_sample = self.nusc.get('sample_data',
+                                         rec['data']['LIDAR_TOP'])
+            uv, d = map_pointcloud_to_image(self.nusc, lidar_sample,
+                                            cam_sample, orig_size)
+            depth[uv[1].astype(np.int32), uv[0].astype(np.int32)] = d
+        else:
+            path = os.path.join(
+                self.dataroot, 'depth_gt',
+                os.path.split(cam_sample['filename'])[-1] + '.bin')
+            if os.path.exists(path):
+                cam_depth = np.fromfile(path, np.float32).reshape(-1, 3)
+                coords = cam_depth[:, :2].astype(np.int16)
+                depth[coords[:, 1], coords[:, 0]] = cam_depth[:, 2]
         depth = _resize_bilinear_np(depth, self.augmentation['resize_dims'])
         depth = depth[crop[1]:crop[3], crop[0]:crop[2]]
         return np.round(depth)
@@ -465,6 +478,56 @@ class FuturePredictionDataset:
         lidar_timestamps = (sd['timestamp'] - sel * 1e6).astype(np.int64)
         return padded, lidar_timestamps
 
+    RADAR_CHANNELS = ['RADAR_BACK_RIGHT', 'RADAR_BACK_LEFT', 'RADAR_FRONT',
+                      'RADAR_FRONT_LEFT', 'RADAR_FRONT_RIGHT']
+
+    def get_radar_data(self, rec, nsweeps: int = 1,
+                       min_distance: float = 2.2) -> np.ndarray:
+        """Aggregate all radar channels into the reference ego frame.
+
+        (19, V) — 18 radar fields + per-return time lag, zero-padded to the
+        static capacity V = 700 * nsweeps.  Reference: LyftData.py:540-595
+        (called under MODEL.MODALITY.USE_RADAR, NuscenesData.py:851)."""
+        from .nuscenes_sdk import load_radar_points
+
+        cap = 700 * nsweeps
+        ref_sd = self.nusc.get('sample_data', rec['data']['LIDAR_TOP'])
+        ref_pose = self.nusc.get('ego_pose', ref_sd['ego_pose_token'])
+        car_from_global = transform_matrix(
+            ref_pose['translation'], Quaternion(ref_pose['rotation']),
+            inverse=True)
+        ref_time = 1e-6 * ref_sd['timestamp']
+
+        chunks = []
+        for chan in self.RADAR_CHANNELS:
+            if chan not in rec['data']:
+                continue
+            sd = self.nusc.get('sample_data', rec['data'][chan])
+            for _ in range(nsweeps):
+                pts = load_radar_points(
+                    os.path.join(self.dataroot, sd['filename']))
+                pose = self.nusc.get('ego_pose', sd['ego_pose_token'])
+                cs = self.nusc.get('calibrated_sensor',
+                                   sd['calibrated_sensor_token'])
+                tm = (car_from_global
+                      @ transform_matrix(pose['translation'],
+                                         Quaternion(pose['rotation']))
+                      @ transform_matrix(cs['translation'],
+                                         Quaternion(cs['rotation'])))
+                lag = ref_time - 1e-6 * sd['timestamp']
+                rows = native.sweep_transform(
+                    pts.T, tm, min_dist=min_distance, time_lag=lag,
+                    out_channels=19, time_col=18)
+                chunks.append(rows)
+                if not sd.get('prev'):
+                    break
+                sd = self.nusc.get('sample_data', sd['prev'])
+        out = np.zeros((19, cap), np.float32)
+        if chunks:
+            allpts = np.concatenate(chunks, axis=0)[:cap]
+            out[:, :allpts.shape[0]] = allpts.T
+        return out
+
     # ---------------------------------------------------------------- getitem
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -481,6 +544,7 @@ class FuturePredictionDataset:
 
         use_ms = cfg.DATASET.USE_MULTISWEEP
         n_seq = len(self.indices[index])
+        radar: list = []
         for i, index_t in enumerate(self.indices[index]):
             in_pred = i >= rf
             rec = self.ixes[index_t]
@@ -521,6 +585,10 @@ class FuturePredictionDataset:
                     self.get_future_egomotion(rec, index_t))
                 data['target_timestamp'].append(rec['timestamp'])
 
+            if cfg.MODEL.MODALITY.USE_RADAR:
+                radar.append(self.get_radar_data(rec, nsweeps=1,
+                                                 min_distance=2.2))
+
             if i == rf - 1:
                 gt_traj, command = self.get_gt_trajectory(rec, index_t)
                 gt_trajectory = gt_traj
@@ -545,6 +613,8 @@ class FuturePredictionDataset:
         }
         if data['depths']:
             out['depths'] = np.stack(data['depths']).astype(np.float32)
+        if radar:
+            out['radar_pointclouds'] = np.stack(radar)
 
         center, offset, flow = convert_instance_mask_to_center_and_offset_label(
             out['instance'], out['future_egomotion'],

@@ -260,6 +260,59 @@ def locate_message(utimes, utime):
     return i
 
 
+# ----------------------------------------------------------------- radar i/o
+_PCD_TYPES = {('F', 4): '<f4', ('F', 8): '<f8', ('I', 1): '<i1',
+              ('I', 2): '<i2', ('I', 4): '<i4', ('U', 1): '<u1',
+              ('U', 2): '<u2', ('U', 4): '<u4'}
+
+# devkit default radar filters (data_classes.py RadarPointCloud:1038-1043)
+RADAR_INVALID_STATES = [0]
+RADAR_DYNPROP_STATES = list(range(7))
+RADAR_AMBIG_STATES = [3]
+
+
+def load_radar_points(path: str,
+                      invalid_states=None, dynprop_states=None,
+                      ambig_states=None) -> np.ndarray:
+    """Parse a nuScenes radar .pcd file -> (18, N) float32 with the devkit's
+    default state filters (RadarPointCloud.from_file semantics,
+    reference utils/data_classes.py:1053-1150).
+
+    Fields: x y z dyn_prop id rcs vx vy vx_comp vy_comp is_quality_valid
+    ambig_state x_rms y_rms invalid_state pdh0 vx_rms vy_rms."""
+    invalid_states = (RADAR_INVALID_STATES if invalid_states is None
+                      else invalid_states)
+    dynprop_states = (RADAR_DYNPROP_STATES if dynprop_states is None
+                      else dynprop_states)
+    ambig_states = RADAR_AMBIG_STATES if ambig_states is None else ambig_states
+
+    with open(path, 'rb') as f:
+        header = {}
+        while True:
+            line = f.readline().decode('ascii', 'ignore').strip()
+            if not line or line.startswith('#'):
+                continue
+            key, _, val = line.partition(' ')
+            header[key] = val
+            if key == 'DATA':
+                break
+        fields = header['FIELDS'].split()
+        sizes = [int(s) for s in header['SIZE'].split()]
+        types = header['TYPE'].split()
+        n = int(header.get('POINTS', header.get('WIDTH', '0')))
+        if header['DATA'] != 'binary':
+            raise ValueError(f'unsupported PCD data mode {header["DATA"]}')
+        dtype = np.dtype([(name, _PCD_TYPES[(t, s)])
+                          for name, t, s in zip(fields, types, sizes)])
+        raw = np.frombuffer(f.read(dtype.itemsize * n), dtype, count=n)
+
+    pts = np.stack([raw[name].astype(np.float32) for name in fields])
+    keep = (np.isin(raw['invalid_state'], invalid_states)
+            & np.isin(raw['dyn_prop'], dynprop_states)
+            & np.isin(raw['ambig_state'], ambig_states))
+    return pts[:, keep]
+
+
 # -------------------------------------------------------- box interpolation
 def get_instance_box(nusc: NuScenes, sample_data_token: str,
                      instance_token: str) -> Optional[Box]:
@@ -343,6 +396,45 @@ def load_lidar_points(nusc: NuScenes, sample_data: dict) -> np.ndarray:
     path = os.path.join(nusc.dataroot, sample_data['filename'])
     scan = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
     return scan
+
+
+def map_pointcloud_to_image(nusc: NuScenes, lidar_sd: dict, cam_sd: dict,
+                            image_size: Tuple[int, int],
+                            min_dist: float = 1.0
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Project a lidar sweep into a camera image.
+
+    Devkit ``NuScenesExplorer.map_pointcloud_to_image`` semantics (the
+    reference's online GT-depth path, NuscenesData.py get_depth_from_lidar
+    :313-321): lidar sensor -> ego(t_lidar) -> global -> ego(t_cam) ->
+    camera -> pixels.  image_size: (W, H).  Returns (pixel coords (2, N),
+    depths (N,)) for the points that survive the devkit mask (depth >
+    min_dist, 1 px inside the image border)."""
+    pts = load_lidar_points(nusc, lidar_sd)[:, :3].T.astype(np.float64)
+
+    cs_l = nusc.get('calibrated_sensor', lidar_sd['calibrated_sensor_token'])
+    pts = Quaternion(cs_l['rotation']).rotation_matrix @ pts
+    pts = pts + np.asarray(cs_l['translation'], np.float64)[:, None]
+    ep_l = nusc.get('ego_pose', lidar_sd['ego_pose_token'])
+    pts = Quaternion(ep_l['rotation']).rotation_matrix @ pts
+    pts = pts + np.asarray(ep_l['translation'], np.float64)[:, None]
+
+    ep_c = nusc.get('ego_pose', cam_sd['ego_pose_token'])
+    pts = pts - np.asarray(ep_c['translation'], np.float64)[:, None]
+    pts = Quaternion(ep_c['rotation']).rotation_matrix.T @ pts
+    cs_c = nusc.get('calibrated_sensor', cam_sd['calibrated_sensor_token'])
+    pts = pts - np.asarray(cs_c['translation'], np.float64)[:, None]
+    pts = Quaternion(cs_c['rotation']).rotation_matrix.T @ pts
+
+    depths = pts[2]
+    K = np.asarray(cs_c['camera_intrinsic'], np.float64)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        uv = K @ pts
+        uv = uv[:2] / np.maximum(uv[2:3], 1e-9)
+    w, h = image_size
+    mask = ((depths > min_dist) & (uv[0] > 1) & (uv[0] < w - 1)
+            & (uv[1] > 1) & (uv[1] < h - 1))
+    return uv[:, mask], depths[mask]
 
 
 def multisweep_lidar(nusc: NuScenes, ref_sample_data: dict,

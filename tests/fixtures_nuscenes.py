@@ -13,6 +13,37 @@ import numpy as np
 
 W_IMG, H_IMG = 160, 90
 
+RADAR_FIELDS = ('x y z dyn_prop id rcs vx vy vx_comp vy_comp '
+                'is_quality_valid ambig_state x_rms y_rms invalid_state '
+                'pdh0 vx_rms vy_rms')
+RADAR_SIZES = '4 4 4 1 2 4 4 4 4 4 1 1 1 1 1 1 1 1'
+RADAR_TYPES = 'F F F I I F F F F F I I I I I I I I'
+
+
+def write_radar_pcd(path: str, rng, n: int = 40) -> None:
+    """Write a minimal binary nuScenes-format radar .pcd file."""
+    dtype = np.dtype([(f, {'F': f'<f{s}', 'I': f'<i{s}'}[t])
+                      for f, s, t in zip(RADAR_FIELDS.split(),
+                                         RADAR_SIZES.split(),
+                                         RADAR_TYPES.split())])
+    rows = np.zeros(n, dtype)
+    rows['x'] = rng.uniform(3, 40, n)
+    rows['y'] = rng.uniform(-20, 20, n)
+    rows['rcs'] = rng.uniform(-10, 30, n)
+    rows['vx'] = rng.uniform(-5, 5, n)
+    rows['ambig_state'] = 3                     # devkit default keep-filter
+    rows['invalid_state'] = 0
+    rows['dyn_prop'] = rng.randint(0, 7, n)
+    # one return that the default filters must drop
+    rows['invalid_state'][0] = 5
+    header = (f'VERSION 0.7\nFIELDS {RADAR_FIELDS}\nSIZE {RADAR_SIZES}\n'
+              f'TYPE {RADAR_TYPES}\n'
+              f'COUNT {" ".join(["1"] * 18)}\nWIDTH {n}\nHEIGHT 1\n'
+              f'VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA binary\n')
+    with open(path, 'wb') as f:
+        f.write(header.encode('ascii'))
+        f.write(rows.tobytes())
+
 
 def make_mini_nuscenes(root: str, version: str = 'v1.0-mini',
                        n_scenes: int = 2, n_samples: int = 9,
@@ -27,6 +58,8 @@ def make_mini_nuscenes(root: str, version: str = 'v1.0-mini',
         {'token': 'sensor_lidar', 'channel': 'LIDAR_TOP', 'modality': 'lidar'},
         {'token': 'sensor_cam_f', 'channel': 'CAM_FRONT', 'modality': 'camera'},
         {'token': 'sensor_cam_b', 'channel': 'CAM_BACK', 'modality': 'camera'},
+        {'token': 'sensor_radar', 'channel': 'RADAR_FRONT',
+         'modality': 'radar'},
     ]
     for s in sensors[1:]:
         os.makedirs(os.path.join(root, 'samples', s['channel']), exist_ok=True)
@@ -34,13 +67,17 @@ def make_mini_nuscenes(root: str, version: str = 'v1.0-mini',
     calibrated, ego_poses = [], []
     cs_by_sensor = {}
     K = [[100.0, 0.0, W_IMG / 2], [0.0, 100.0, H_IMG / 2], [0.0, 0.0, 1.0]]
+    # camera optical rotations (cam z = forward): front looks along ego +x,
+    # back along ego -x (standard nuScenes-style mounting)
+    cam_rot = {'CAM_FRONT': [0.5, -0.5, 0.5, -0.5],
+               'CAM_BACK': [0.5, -0.5, -0.5, 0.5]}
     for s in sensors:
         tok = 'cs_' + s['token']
         cs_by_sensor[s['token']] = tok
         calibrated.append({
             'token': tok, 'sensor_token': s['token'],
             'translation': [0.0, 0.0, 1.6],
-            'rotation': [1.0, 0.0, 0.0, 0.0],
+            'rotation': cam_rot.get(s['channel'], [1.0, 0.0, 0.0, 0.0]),
             'camera_intrinsic': K if s['modality'] == 'camera' else []})
 
     logs = [{'token': 'log0', 'location': 'boston-seaport'}]
@@ -103,12 +140,17 @@ def make_mini_nuscenes(root: str, version: str = 'v1.0-mini',
             by_tok[lidar_chain[0]]['prev'] = prev_lidar_sd
             prev_lidar_sd = lidar_chain[-1]
 
-            # cameras (keyframes only)
+            # cameras + radar (keyframes only)
             for s in sensors[1:]:
                 sd_tok = f'sd_{s["token"]}_{si}_{k}'
-                fname = f'samples/{s["channel"]}/{sd_tok}.jpg'
-                arr = rng.randint(0, 255, size=(H_IMG, W_IMG, 3), dtype=np.uint8)
-                Image.fromarray(arr).save(os.path.join(root, fname))
+                if s['modality'] == 'camera':
+                    fname = f'samples/{s["channel"]}/{sd_tok}.jpg'
+                    arr = rng.randint(0, 255, size=(H_IMG, W_IMG, 3),
+                                      dtype=np.uint8)
+                    Image.fromarray(arr).save(os.path.join(root, fname))
+                else:
+                    fname = f'samples/{s["channel"]}/{sd_tok}.pcd'
+                    write_radar_pcd(os.path.join(root, fname), rng)
                 ptok = f'pose_{s["token"]}_{si}_{k}'
                 add_pose(ptok, ts)
                 sample_datas.append({

@@ -209,3 +209,60 @@ def test_interpolated_box_moves_between_keyframes(nusc):
     # the keyframe sits 0.2 m behind it
     dx = box_key.center[0] - box_sweep.center[0]
     np.testing.assert_allclose(dx, 2.0 * 0.1, atol=1e-6)
+
+
+def test_online_depth_from_lidar(nusc, cfg):
+    """GEN.GEN_DEPTH projects the keyframe lidar into the camera (reference
+    get_depth_from_lidar, NuscenesData.py:313-321)."""
+    import copy
+
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+    from streamingflow_tpu.data.nuscenes_sdk import map_pointcloud_to_image
+
+    d_cfg = copy.deepcopy(cfg)
+    d_cfg.LIFT.GT_DEPTH = True
+    d_cfg.GEN.GEN_DEPTH = True
+    ds = FuturePredictionDataset(nusc, 0, d_cfg)
+    item = ds[0]
+    S = d_cfg.TIME_RECEPTIVE_FIELD
+    fh, fw = d_cfg.IMAGE.FINAL_DIM
+    assert item['depths'].shape == (S, 2, fh, fw)
+    # sparse: most pixels are the -1 sentinel, some carry positive depth
+    assert (item['depths'] == -1).mean() > 0.5
+    assert (item['depths'] > 0).any()
+
+    # projection sanity: all returned pixels in-image, depths past min_dist
+    rec = ds.ixes[ds.indices[0][0]]
+    lidar_sd = nusc.get('sample_data', rec['data']['LIDAR_TOP'])
+    cam_sd = nusc.get('sample_data', rec['data']['CAM_FRONT'])
+    uv, d = map_pointcloud_to_image(nusc, lidar_sd, cam_sd, (160, 90))
+    assert (d > 1.0).all()
+    assert (uv[0] > 1).all() and (uv[0] < 159).all()
+    assert (uv[1] > 1).all() and (uv[1] < 89).all()
+
+
+def test_radar_loading(nusc, cfg, dataroot):
+    """PCD parsing with devkit filters + multi-channel ego-frame aggregation
+    (reference RadarPointCloud.from_file data_classes.py:1053, LyftData
+    get_radar_data:540, enabled by MODEL.MODALITY.USE_RADAR)."""
+    import copy
+
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+    from streamingflow_tpu.data.nuscenes_sdk import load_radar_points
+
+    rec = nusc.sample[0]
+    sd = nusc.get('sample_data', rec['data']['RADAR_FRONT'])
+    pts = load_radar_points(os.path.join(dataroot, sd['filename']))
+    assert pts.shape[0] == 18
+    assert pts.shape[1] == 39            # 40 returns, 1 filtered out
+    assert (pts[0] > 0).all()            # x forward in sensor frame
+
+    r_cfg = copy.deepcopy(cfg)
+    r_cfg.MODEL.MODALITY.USE_RADAR = True
+    ds = FuturePredictionDataset(nusc, 0, r_cfg)
+    item = ds[0]
+    T = r_cfg.TIME_RECEPTIVE_FIELD + r_cfg.N_FUTURE_FRAMES
+    assert item['radar_pointclouds'].shape == (T, 19, 700)
+    # aggregated returns carry a time-lag channel and land in ego frame
+    valid = np.abs(item['radar_pointclouds'][0, :3]).sum(0) > 0
+    assert valid.sum() > 0
