@@ -22,10 +22,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None,
+              batch_size: Optional[int] = None) -> Mesh:
+    """1-D 'data' mesh.  When ``batch_size`` is given, use the largest
+    device count that divides it (a global batch must shard evenly over the
+    mesh — e.g. batch 1 runs on 1 device even on an 8-device host)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if batch_size is not None:
+        n = len(devices)
+        while batch_size % n:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), ('data',))
 
 

@@ -30,7 +30,8 @@ def main():
     trainloader, valloader = prepare_dataloaders(cfg)
     print(f'train batches: {len(trainloader)}  val batches: {len(valloader)}')
 
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=cfg.BATCHSIZE)
+    print(f'data-parallel over {len(mesh.devices)} device(s)')
     first_batch = next(iter(trainloader))
     batch = {k: jnp.asarray(v) for k, v in first_batch.items()
              if isinstance(v, np.ndarray)}
