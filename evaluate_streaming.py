@@ -6,7 +6,6 @@ timestamp lattice by ``--eval-interval`` (units of 0.05 s, reference
 :118-126).  The GRU-ODE decodes at exactly the requested times; no
 retraining is involved.
 """
-import argparse
 import os
 import sys
 

@@ -21,8 +21,7 @@ from ..config import Config
 from .labels import convert_instance_mask_to_center_and_offset_label
 from .nuscenes_sdk import (Box, NuScenes, NuScenesCanBus, Quaternion,
                            create_splits_scenes, instance_boxes_over_sweeps,
-                           locate_message, multisweep_lidar, quaternion_yaw,
-                           transform_matrix)
+                           locate_message, multisweep_lidar, transform_matrix)
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -545,6 +544,7 @@ class FuturePredictionDataset:
         use_ms = cfg.DATASET.USE_MULTISWEEP
         n_seq = len(self.indices[index])
         radar: list = []
+        status = 'valid'
         for i, index_t in enumerate(self.indices[index]):
             in_pred = i >= rf
             rec = self.ixes[index_t]
@@ -560,11 +560,23 @@ class FuturePredictionDataset:
             if use_ms and rf - 1 <= i < n_seq - 1:
                 # expand this keyframe into per-sweep labels on the 0.05 s
                 # lattice (reference NuscenesData.py:819-841: static egomotion
-                # between sweeps, the real keyframe egomotion on the last)
-                seg_ms, inst_ms, ped_ms, instance_map, lags = \
-                    self.get_label_multisweep(
-                        rec, instance_map, in_pred,
-                        nsweeps=cfg.DATASET.MULTISWEEP_NSWEEPS)
+                # between sweeps, the real keyframe egomotion on the last).
+                # Label failures mark the sample invalid instead of raising
+                # (data-level fault tolerance, reference :840-841); the
+                # loader drops invalid samples (dataloader.py).
+                try:
+                    seg_ms, inst_ms, ped_ms, instance_map, lags = \
+                        self.get_label_multisweep(
+                            rec, instance_map, in_pred,
+                            nsweeps=cfg.DATASET.MULTISWEEP_NSWEEPS)
+                except Exception:
+                    status = 'invalid'
+                    nx, ny = (int(self.bev_dimension[0]),
+                              int(self.bev_dimension[1]))
+                    seg_ms = np.zeros((1, nx, ny), np.int64)
+                    inst_ms = np.zeros((1, nx, ny), np.int64)
+                    ped_ms = np.zeros((1, nx, ny), np.int64)
+                    lags = np.zeros((1,))
                 ego_kf = self.get_future_egomotion(rec, index_t)
                 for s in range(len(lags)):
                     data['segmentation'].append(seg_ms[s][..., None])
@@ -609,7 +621,7 @@ class FuturePredictionDataset:
             'command': np.int64(command),
             'sample_trajectory': sample_trajectory,
             'target_point': np.zeros(2, np.float32),
-            'status': 'valid',
+            'status': status,
         }
         if data['depths']:
             out['depths'] = np.stack(data['depths']).astype(np.float32)

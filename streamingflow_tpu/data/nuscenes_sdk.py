@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-from bisect import bisect_left
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

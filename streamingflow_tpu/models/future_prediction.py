@@ -7,8 +7,6 @@ timelines with masks (layers/ode.py).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -22,7 +22,7 @@ receptive field touches an input (include/spconv/geometry.h:301).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

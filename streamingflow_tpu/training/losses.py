@@ -5,7 +5,7 @@ static shapes; ignore-index masking is arithmetic.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ parameter tree under 'task_weights' and are trained jointly.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

@@ -266,3 +266,24 @@ def test_radar_loading(nusc, cfg, dataroot):
     # aggregated returns carry a time-lag channel and land in ego frame
     valid = np.abs(item['radar_pointclouds'][0, :3]).sum(0) > 0
     assert valid.sum() > 0
+
+
+def test_multisweep_label_failure_marks_invalid(nusc, cfg, monkeypatch):
+    """Label exceptions mark the sample invalid (reference
+    NuscenesData.py:840-841) and the loader drops it."""
+    import copy
+
+    from streamingflow_tpu.data.dataloader import DataLoader
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+
+    ms_cfg = copy.deepcopy(cfg)
+    ms_cfg.DATASET.USE_MULTISWEEP = True
+    ms_cfg.DATASET.MULTISWEEP_NSWEEPS = 2
+    ds = FuturePredictionDataset(nusc, 0, ms_cfg)
+    monkeypatch.setattr(FuturePredictionDataset, 'get_label_multisweep',
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError()))
+    item = ds[0]
+    assert item['status'] == 'invalid'
+
+    dl = DataLoader(ds, batch_size=1, shuffle=False)
+    assert sum(1 for _ in dl) == 0      # every sample dropped
