@@ -70,3 +70,36 @@ def test_metrics_logger_and_profiler(tmp_path):
     with prof.span('work'):
         pass
     assert 'work' in prof.summary()
+
+
+def test_psum_metric_states_on_mesh():
+    """Metric state arrays sum across the 8-device CPU mesh like the
+    reference's dist_reduce_fx='sum' (metrics.py:32-35)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from streamingflow_tpu.parallel import make_mesh
+    from streamingflow_tpu.parallel.collect import psum_metric_states
+
+    mesh = make_mesh()
+    n = len(mesh.devices)
+    per_dev = jnp.asarray(np.arange(n * 4, dtype=np.float32).reshape(n, 4))
+    out = psum_metric_states({'tp': per_dev}, mesh)
+    expect = np.arange(n * 4, dtype=np.float32).reshape(n, 4).sum(0)
+    np.testing.assert_allclose(np.asarray(out['tp'])[0], expect)
+
+
+def test_combine_metrics_host_side():
+    import numpy as np
+
+    from streamingflow_tpu.parallel.collect import combine_metrics
+    from streamingflow_tpu.training.metrics import IntersectionOverUnion
+
+    a, b = IntersectionOverUnion(2), IntersectionOverUnion(2)
+    a.update(np.array([1, 0]), np.array([1, 1]))
+    b.update(np.array([1, 1]), np.array([1, 0]))
+    ref = IntersectionOverUnion(2)
+    ref.update(np.array([1, 0, 1, 1]), np.array([1, 1, 1, 0]))
+    merged = combine_metrics([a, b])
+    np.testing.assert_allclose(merged.compute(), ref.compute())
