@@ -41,7 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BINS_PER_TILE = 2048
-CHUNK = 512
+# 256-row chunks measured fastest on v5e (smaller chunks waste less work on
+# sparse tiles; larger ones amortise DMA better — 256 is the sweet spot for
+# ~64 points/tile average occupancy)
+CHUNK = 256
 
 
 def _use_pallas() -> bool:
