@@ -527,6 +527,48 @@ class FuturePredictionDataset:
             out[:, :allpts.shape[0]] = allpts.T
         return out
 
+    def get_lidar_range_data(self, rec, nsweeps: int = 1,
+                             min_distance: float = 2.2,
+                             cap: int = 35000) -> np.ndarray:
+        """Ego-frame lidar returns with a time-lag channel, zero-padded.
+
+        (5, cap * nsweeps) — x, y, z, intensity, time lag.  The loader-side
+        input of the (dormant-in-shipped-config) range-view path; reference:
+        LyftData.get_lidar_range_data:264-330, gated by MODEL.LIDAR.USE_RANGE
+        + GEN.GEN_RANGE (NuscenesData.py:853)."""
+        from .nuscenes_sdk import load_lidar_points
+
+        ref_sd = self.nusc.get('sample_data', rec['data']['LIDAR_TOP'])
+        ref_pose = self.nusc.get('ego_pose', ref_sd['ego_pose_token'])
+        car_from_global = transform_matrix(
+            ref_pose['translation'], Quaternion(ref_pose['rotation']),
+            inverse=True)
+        ref_time = 1e-6 * ref_sd['timestamp']
+
+        chunks = []
+        sd = ref_sd
+        for _ in range(nsweeps):
+            pts = load_lidar_points(self.nusc, sd)[:, :4]
+            pose = self.nusc.get('ego_pose', sd['ego_pose_token'])
+            cs = self.nusc.get('calibrated_sensor',
+                               sd['calibrated_sensor_token'])
+            tm = (car_from_global
+                  @ transform_matrix(pose['translation'],
+                                     Quaternion(pose['rotation']))
+                  @ transform_matrix(cs['translation'],
+                                     Quaternion(cs['rotation'])))
+            lag = ref_time - 1e-6 * sd['timestamp']
+            chunks.append(native.sweep_transform(
+                pts, tm, min_dist=min_distance, time_lag=lag,
+                out_channels=5, time_col=4))
+            if not sd.get('prev'):
+                break
+            sd = self.nusc.get('sample_data', sd['prev'])
+        out = np.zeros((5, cap * nsweeps), np.float32)
+        allpts = np.concatenate(chunks, axis=0)[:cap * nsweeps]
+        out[:, :allpts.shape[0]] = allpts.T
+        return out
+
     # ---------------------------------------------------------------- getitem
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -544,6 +586,7 @@ class FuturePredictionDataset:
         use_ms = cfg.DATASET.USE_MULTISWEEP
         n_seq = len(self.indices[index])
         radar: list = []
+        range_clouds: list = []
         status = 'valid'
         for i, index_t in enumerate(self.indices[index]):
             in_pred = i >= rf
@@ -600,6 +643,9 @@ class FuturePredictionDataset:
             if cfg.MODEL.MODALITY.USE_RADAR:
                 radar.append(self.get_radar_data(rec, nsweeps=1,
                                                  min_distance=2.2))
+            if cfg.MODEL.LIDAR.USE_RANGE:
+                range_clouds.append(self.get_lidar_range_data(
+                    rec, nsweeps=1, min_distance=2.2))
 
             if i == rf - 1:
                 gt_traj, command = self.get_gt_trajectory(rec, index_t)
@@ -627,6 +673,8 @@ class FuturePredictionDataset:
             out['depths'] = np.stack(data['depths']).astype(np.float32)
         if radar:
             out['radar_pointclouds'] = np.stack(radar)
+        if range_clouds:
+            out['range_clouds'] = np.stack(range_clouds)
 
         center, offset, flow = convert_instance_mask_to_center_and_offset_label(
             out['instance'], out['future_egomotion'],

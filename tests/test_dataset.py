@@ -287,3 +287,23 @@ def test_multisweep_label_failure_marks_invalid(nusc, cfg, monkeypatch):
 
     dl = DataLoader(ds, batch_size=1, shuffle=False)
     assert sum(1 for _ in dl) == 0      # every sample dropped
+
+
+def test_lidar_range_data(nusc, cfg):
+    """USE_RANGE: ego-frame lidar returns with time-lag channel, padded
+    (reference LyftData get_lidar_range_data:264, NuscenesData.py:853)."""
+    import copy
+
+    from streamingflow_tpu.data.nuscenes import FuturePredictionDataset
+
+    r_cfg = copy.deepcopy(cfg)
+    r_cfg.MODEL.LIDAR.USE_RANGE = True
+    ds = FuturePredictionDataset(nusc, 0, r_cfg)
+    item = ds[0]
+    T = r_cfg.TIME_RECEPTIVE_FIELD + r_cfg.N_FUTURE_FRAMES
+    assert item['range_clouds'].shape == (T, 5, 35000)
+    valid = np.abs(item['range_clouds'][0, :3]).sum(0) > 0
+    assert valid.sum() > 0                      # real returns present
+    # time-lag channel of the single-sweep call is ~0 for valid points
+    lags = item['range_clouds'][0, 4, valid]
+    np.testing.assert_allclose(lags, 0.0, atol=1e-3)
