@@ -197,11 +197,19 @@ def build_planning_inputs(batch, labels, cfg: Config):
     occ = labels['segmentation'][:, rf:, :, :, 0]
     if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
         occ = jnp.logical_or(occ, labels['pedestrian'][:, rf:, :, :, 0])
+    if 'hdmap' in batch:
+        hdmap = batch['hdmap'].astype(jnp.float32)
+    else:
+        # the reference's hdmap rasterisation is disabled in its own loader
+        # (NuscenesData.py:813/:824 commented out), so planning must work
+        # without a map raster — the planner's map costs see zeros
+        h, w = occ.shape[-2:]
+        hdmap = jnp.zeros((occ.shape[0], 2, h, w), jnp.float32)
     return dict(
         trajs=batch['sample_trajectory'][:, :, 1:],
         gt_trajs=batch['gt_trajectory'][:, 1:],
         occupancy=occ.astype(jnp.float32),
-        hdmap=batch['hdmap'].astype(jnp.float32),
+        hdmap=hdmap,
         commands=batch['command'].astype(jnp.int32),
         target_points=batch['target_point'])
 
