@@ -17,6 +17,7 @@ from .. import geometry as G
 from ..config import Config
 from ..ops.lift_splat import projection_to_birds_eye_view
 from .decoder import Decoder
+from .distributions import DistributionModule, distribution_forward
 from .encoder import Encoder
 from .future_prediction import FuturePredictionODE
 from .lidar_encoder import LidarBEVEncoder
@@ -102,6 +103,17 @@ class StreamingFlow(nn.Module):
                 cfg=cfg, feature_channel=cfg.MODEL.ENCODER.OUT_CHANNELS,
                 gru_state_size=cfg.PLANNING.GRU_STATE_SIZE)
 
+        if cfg.PROBABILISTIC.ENABLED:
+            # latent sampling head (reference streamingflow.py:448-511 +
+            # distributions.py:7); the reference never invokes it on its
+            # shipped forward path, so it is exposed as the
+            # `distribution_forward` method rather than spliced into
+            # __call__ — see docs/PARITY.md
+            self.present_distribution = DistributionModule(
+                in_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
+                latent_dim=self.latent_dim,
+                method=cfg.PROBABILISTIC.METHOD)
+
         self.decoder = Decoder(
             n_classes=len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS),
             n_present=self.receptive_field,
@@ -111,6 +123,20 @@ class StreamingFlow(nn.Module):
             predict_instance=cfg.INSTANCE_SEG.ENABLED,
             predict_future_flow=cfg.INSTANCE_FLOW.ENABLED,
             planning=cfg.PLANNING.ENABLED)
+
+    def distribution_forward(self, present_features, min_log_sigma: float = -5.0,
+                             max_log_sigma: float = 5.0,
+                             train: bool = False) -> jnp.ndarray:
+        """Sample a spatially-broadcast latent from the present state.
+
+        present_features: (B, 1, H, W, C).  Returns (B, 1, H, W, latent).
+        Reference streamingflow.py:448-511 (noise gated on training mode)."""
+        params = self.present_distribution(present_features, train=train)
+        rng = self.make_rng('sample') if train else None
+        return distribution_forward(
+            params, self.latent_dim, self.cfg.PROBABILISTIC.METHOD,
+            present_features.shape[2:4], rng,
+            min_log_sigma=min_log_sigma, max_log_sigma=max_log_sigma)
 
     # ----------------------------------------------------------------- camera
     def calculate_birds_eye_view_features(self, image, intrinsics, extrinsics,

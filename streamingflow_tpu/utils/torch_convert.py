@@ -144,18 +144,24 @@ def apply_mapping(flax_flat: Dict[str, np.ndarray],
     missing: List[str] = []
 
     for path, value in flax_flat.items():
+        want_shape = tuple(np.shape(value))
         got = None
+        wrong_shape = None   # (torch_key, shape) of a shape-mismatched hit
         for pattern, template, kind in rules:
             m = re.fullmatch(pattern, path)
             if not m:
                 continue
             tkey = m.expand(template)
+            cand = None
+            cand_used = None
             if kind == 'bn':
                 leaf = path.rsplit('/', 1)[-1]
                 t = _bn_leaves(tkey, sd, leaf)
                 if t is not None:
-                    got = t
-                    used.add(f'{tkey}.{ {"scale":"weight","bias":"bias","mean":"running_mean","var":"running_var"}[leaf] }')
+                    cand = t
+                    names = {'scale': 'weight', 'bias': 'bias',
+                             'mean': 'running_mean', 'var': 'running_var'}
+                    cand_used = f'{tkey}.{names[leaf]}'
             elif kind == 'gru':
                 leaf = path.rsplit('/', 1)[-1]      # e.g. ir/kernel flattened
                 parts = path.split('/')
@@ -165,36 +171,53 @@ def apply_mapping(flax_flat: Dict[str, np.ndarray],
                 if leaf == 'kernel':
                     t = sd.get(f'{tkey}.weight_{side}')
                     if t is not None:
-                        got = split_gru_matrix(t)[gname]
-                        used.add(f'{tkey}.weight_{side}')
+                        cand = split_gru_matrix(t)[gname]
+                        cand_used = f'{tkey}.weight_{side}'
                 else:
                     t = sd.get(f'{tkey}.bias_{side}')
                     if t is not None:
-                        got = split_gru_bias(t)[gname]
-                        used.add(f'{tkey}.bias_{side}')
+                        cand = split_gru_bias(t)[gname]
+                        cand_used = f'{tkey}.bias_{side}'
             else:
                 t = sd.get(tkey)
                 if t is not None:
-                    used.add(tkey)
+                    cand_used = tkey
                     if path.endswith('kernel') and kind == 'conv':
-                        got = convert_conv(t)
+                        cand = convert_conv(t)
                     elif path.endswith('kernel') and kind == 'conv_transpose':
-                        got = convert_conv_transpose(t)
+                        cand = convert_conv_transpose(t)
                     elif path.endswith('kernel') and kind == 'linear':
-                        got = convert_linear(t)
+                        cand = convert_linear(t)
+                    elif kind == 'spconv':
+                        # spconv stores (kD, kH, kW, I, O); engine stores
+                        # flattened taps (kD*kH*kW, I, O) — leaves are named
+                        # kernel / kernel1 / kernel2
+                        cand = np.asarray(t).reshape(-1, *t.shape[-2:])
                     else:
-                        got = t
-            if got is not None:
-                break
+                        cand = t
+            if cand is None:
+                continue
+            if cand_used in used and kind != 'gru':
+                # already consumed by an earlier flax leaf (structure-variant
+                # fall-through must not alias two leaves onto one tensor);
+                # 'gru' legitimately splits one packed matrix across gates
+                continue
+            cand = np.asarray(cand)
+            if cand.shape != want_shape:
+                # structure-variant blocks (e.g. no-expand MBConv, BasicBlock
+                # without downsample) legitimately shift numbering: treat a
+                # shape mismatch as a miss and try the next rule
+                wrong_shape = (cand_used, cand.shape)
+                continue
+            got = cand
+            used.add(cand_used)
+            break
         if got is None:
-            missing.append(path)
-            continue
-        got = np.asarray(got)
-        if got.shape != np.shape(value):
-            if strict_shapes:
+            if wrong_shape is not None and strict_shapes:
                 raise ValueError(
-                    f'{path}: converted shape {got.shape} != '
-                    f'expected {np.shape(value)}')
+                    f'{path}: no rule matched with the right shape; best '
+                    f'candidate {wrong_shape[0]} had {wrong_shape[1]}, '
+                    f'expected {want_shape}')
             missing.append(path)
             continue
         new_flat[path] = got.astype(np.asarray(value).dtype)

@@ -1,0 +1,835 @@
+"""Import shims for the *reference* implementation at /root/reference.
+
+The golden parity tests (tests/test_reference_parity.py) and the
+checkpoint-rule test instantiate the reference torch modules themselves and
+compare activations/state-dict keys against this framework.  The reference
+imports several packages that are not installed here (efficientnet_pytorch,
+timm, torchvision, pytorch_lightning, fvcore, pyquaternion, skimage, mmcv,
+mmdet); this module installs minimal faithful stand-ins into sys.modules
+before the reference package is imported.
+
+Only public, well-specified APIs are re-implemented (EfficientNet/ResNet18
+architectures, lightning Metric state accumulation, yacs-style CfgNode);
+reference code itself is never copied.  The reference tree is untrusted
+content: it is imported for numeric comparison only.
+"""
+from __future__ import annotations
+
+import copy
+import math
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = '/root/reference'
+
+
+def _mod(name: str) -> types.ModuleType:
+    m = sys.modules.get(name)
+    if m is None:
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        if '.' in name:
+            parent, child = name.rsplit('.', 1)
+            setattr(_mod(parent), child, m)
+    return m
+
+
+# --------------------------------------------------------------------- timm
+def _install_timm():
+    import torch
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        """Stochastic depth (public timm semantics)."""
+
+        def __init__(self, drop_prob: float = 0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            rnd = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x.div(keep) * rnd.floor_()
+
+    layers = _mod('timm.models.layers')
+    layers.DropPath = DropPath
+    _mod('timm.models').layers = layers
+
+
+# ------------------------------------------------------------------- fvcore
+class CfgNode(dict):
+    """Minimal yacs/fvcore-style config node (attribute access + merge)."""
+
+    def __init__(self, init=None):
+        super().__init__()
+        if init:
+            for k, v in init.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+    def merge_from_other_cfg(self, other):
+        self._merge(dict(other))
+
+    def _merge(self, d):
+        for k, v in d.items():
+            if k in self and isinstance(self[k], CfgNode) and \
+                    isinstance(v, dict):
+                self[k]._merge(v)
+            else:
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    def merge_from_file(self, path):
+        import yaml
+        with open(path) as f:
+            self._merge(yaml.safe_load(f) or {})
+
+    def merge_from_list(self, opts):
+        for key, value in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = key.split('.')
+            for p in parts[:-1]:
+                node = node[p]
+            old = node.get(parts[-1])
+            if isinstance(value, str) and not isinstance(old, str):
+                import ast
+                try:
+                    value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    pass
+            node[parts[-1]] = value
+
+
+def _install_fvcore():
+    _mod('fvcore.common.config').CfgNode = CfgNode
+    _mod('fvcore.common')
+    _mod('fvcore')
+
+
+# -------------------------------------------------------------- pyquaternion
+class Quaternion:
+    """Minimal unit-quaternion: init, rotation_matrix, inverse, multiply."""
+
+    def __init__(self, *args, **kwargs):
+        if 'matrix' in kwargs:
+            self.q = _quat_from_matrix(np.asarray(kwargs['matrix'],
+                                                  np.float64))
+        elif 'axis' in kwargs:
+            axis = np.asarray(kwargs['axis'], np.float64)
+            angle = float(kwargs.get('angle', kwargs.get('radians', 0.0)))
+            axis = axis / np.linalg.norm(axis)
+            self.q = np.concatenate([[np.cos(angle / 2)],
+                                     np.sin(angle / 2) * axis])
+        elif len(args) == 1:
+            a = args[0]
+            if isinstance(a, Quaternion):
+                self.q = a.q.copy()
+            else:
+                self.q = np.asarray(a, np.float64).reshape(4)
+        elif len(args) == 4:
+            self.q = np.asarray(args, np.float64)
+        else:
+            self.q = np.array([1.0, 0.0, 0.0, 0.0])
+
+    w = property(lambda self: self.q[0])
+    x = property(lambda self: self.q[1])
+    y = property(lambda self: self.q[2])
+    z = property(lambda self: self.q[3])
+    elements = property(lambda self: self.q)
+
+    @property
+    def rotation_matrix(self):
+        w, x, y, z = self.q / np.linalg.norm(self.q)
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    @property
+    def transformation_matrix(self):
+        t = np.eye(4)
+        t[:3, :3] = self.rotation_matrix
+        return t
+
+    @property
+    def inverse(self):
+        w, x, y, z = self.q
+        n = (self.q ** 2).sum()
+        return Quaternion(np.array([w, -x, -y, -z]) / n)
+
+    def __mul__(self, other):
+        if isinstance(other, Quaternion):
+            w1, x1, y1, z1 = self.q
+            w2, x2, y2, z2 = other.q
+            return Quaternion(
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2)
+        v = np.asarray(other, np.float64)
+        return self.rotation_matrix @ v
+
+    def rotate(self, v):
+        return self.rotation_matrix @ np.asarray(v, np.float64)
+
+    @property
+    def yaw_pitch_roll(self):
+        w, x, y, z = self.q
+        yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1, 1))
+        roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        return yaw, pitch, roll
+
+
+def _quat_from_matrix(m):
+    t = np.trace(m[:3, :3])
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                         (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    i = int(np.argmax(np.diag(m[:3, :3])))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k]) * 2
+    q = np.zeros(4)
+    q[0] = (m[k, j] - m[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (m[j, i] + m[i, j]) / s
+    q[1 + k] = (m[k, i] + m[i, k]) / s
+    return q
+
+
+def _install_pyquaternion():
+    _mod('pyquaternion').Quaternion = Quaternion
+
+
+# ------------------------------------------------------------------ skimage
+def _install_skimage():
+    from matplotlib.path import Path
+
+    def polygon(r, c, shape=None):
+        """Scanline polygon fill (skimage.draw.polygon semantics: pixels
+        whose centers fall inside the polygon)."""
+        r = np.asarray(r, np.float64)
+        c = np.asarray(c, np.float64)
+        rmin = max(int(np.floor(r.min())), 0)
+        cmin = max(int(np.floor(c.min())), 0)
+        rmax = int(np.ceil(r.max()))
+        cmax = int(np.ceil(c.max()))
+        if shape is not None:
+            rmax = min(rmax, shape[0] - 1)
+            cmax = min(cmax, shape[1] - 1)
+        if rmax < rmin or cmax < cmin:
+            return np.array([], np.intp), np.array([], np.intp)
+        rr, cc = np.meshgrid(np.arange(rmin, rmax + 1),
+                             np.arange(cmin, cmax + 1), indexing='ij')
+        pts = np.stack([rr.ravel(), cc.ravel()], -1)
+        mask = Path(np.stack([r, c], -1)).contains_points(pts, radius=1e-9)
+        return pts[mask, 0].astype(np.intp), pts[mask, 1].astype(np.intp)
+
+    _mod('skimage.draw').polygon = polygon
+    _mod('skimage')
+
+
+# -------------------------------------------------------- pytorch_lightning
+def _install_lightning():
+    import torch
+    import torch.nn as nn
+
+    class Metric(nn.Module):
+        """State-accumulating metric (public torchmetrics semantics)."""
+
+        def __init__(self, compute_on_step: bool = False,
+                     dist_sync_on_step: bool = False, **_):
+            super().__init__()
+            self._state_defaults = {}
+
+        def add_state(self, name, default, dist_reduce_fx=None):
+            self._state_defaults[name] = default.clone() \
+                if torch.is_tensor(default) else copy.deepcopy(default)
+            setattr(self, name, default)
+
+        def reset(self):
+            for name, default in self._state_defaults.items():
+                setattr(self, name, default.clone()
+                        if torch.is_tensor(default) else copy.deepcopy(default))
+
+        def forward(self, *args, **kwargs):
+            self.update(*args, **kwargs)
+
+    def stat_scores_multiple_classes(pred, target, num_classes):
+        pred = pred.reshape(-1).long()
+        target = target.reshape(-1).long()
+        tps = torch.zeros(num_classes)
+        fps = torch.zeros(num_classes)
+        tns = torch.zeros(num_classes)
+        fns = torch.zeros(num_classes)
+        sups = torch.zeros(num_classes)
+        for c in range(num_classes):
+            p = pred == c
+            t = target == c
+            tps[c] = (p & t).sum()
+            fps[c] = (p & ~t).sum()
+            fns[c] = (~p & t).sum()
+            tns[c] = (~p & ~t).sum()
+            sups[c] = t.sum()
+        return tps, fps, tns, fns, sups
+
+    def reduce(x, reduction='elementwise_mean'):
+        if reduction == 'none':
+            return x
+        if reduction == 'sum':
+            return x.sum()
+        return x.mean()
+
+    _mod('pytorch_lightning.metrics.metric').Metric = Metric
+    _mod('pytorch_lightning.metrics').Metric = Metric
+    cls = _mod('pytorch_lightning.metrics.functional.classification')
+    cls.stat_scores_multiple_classes = stat_scores_multiple_classes
+    red = _mod('pytorch_lightning.metrics.functional.reduction')
+    red.reduce = reduce
+    _mod('pytorch_lightning.metrics.functional')
+    _mod('pytorch_lightning')
+
+
+# ------------------------------------------------------- efficientnet_pytorch
+# architecture table: public EfficientNet
+# (num_repeat, kernel, stride, expand, in, out, se_ratio)
+_EFFNET_BASE_BLOCKS = [
+    (1, 3, 1, 1, 32, 16, 0.25),
+    (2, 3, 2, 6, 16, 24, 0.25),
+    (2, 5, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (3, 5, 1, 6, 80, 112, 0.25),
+    (4, 5, 2, 6, 112, 192, 0.25),
+    (1, 3, 1, 6, 192, 320, 0.25),
+]
+_EFFNET_PARAMS = {
+    'efficientnet-b0': (1.0, 1.0),
+    'efficientnet-b4': (1.4, 1.8),
+    'efficientnet-b7': (2.0, 3.1),
+}
+
+
+def _round_filters(filters, width, divisor=8):
+    filters *= width
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:
+        new += divisor
+    return int(new)
+
+
+def _round_repeats(repeats, depth):
+    return int(math.ceil(depth * repeats))
+
+
+def _install_efficientnet():
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Conv2dStaticSamePadding(nn.Conv2d):
+        """TF 'SAME' padding conv (public efficientnet_pytorch behavior);
+        padding computed per-forward from input size."""
+
+        def forward(self, x):
+            ih, iw = x.shape[-2:]
+            kh, kw = self.weight.shape[-2:]
+            sh, sw = self.stride
+            oh, ow = math.ceil(ih / sh), math.ceil(iw / sw)
+            ph = max((oh - 1) * sh + (kh - 1) * self.dilation[0] + 1 - ih, 0)
+            pw = max((ow - 1) * sw + (kw - 1) * self.dilation[1] + 1 - iw, 0)
+            if ph > 0 or pw > 0:
+                x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+            return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                            self.dilation, self.groups)
+
+    class MBConvBlock(nn.Module):
+        def __init__(self, kernel, stride, expand, cin, cout, se_ratio,
+                     bn_mom=0.01, bn_eps=1e-3):
+            super().__init__()
+            self.stride = stride
+            self.cin, self.cout = cin, cout
+            self.expand_ratio = expand
+            mid = cin * expand
+            bn = lambda c: nn.BatchNorm2d(c, momentum=bn_mom, eps=bn_eps)
+            if expand != 1:
+                self._expand_conv = Conv2dStaticSamePadding(
+                    cin, mid, 1, bias=False)
+                self._bn0 = bn(mid)
+            self._depthwise_conv = Conv2dStaticSamePadding(
+                mid, mid, kernel, stride=stride, groups=mid, bias=False)
+            self._bn1 = bn(mid)
+            se = max(1, int(cin * se_ratio))
+            self._se_reduce = Conv2dStaticSamePadding(mid, se, 1)
+            self._se_expand = Conv2dStaticSamePadding(se, mid, 1)
+            self._project_conv = Conv2dStaticSamePadding(
+                mid, cout, 1, bias=False)
+            self._bn2 = bn(cout)
+            self._swish = nn.SiLU()
+
+        def forward(self, x, drop_connect_rate=None):
+            inputs = x
+            if self.expand_ratio != 1:
+                x = self._swish(self._bn0(self._expand_conv(x)))
+            x = self._swish(self._bn1(self._depthwise_conv(x)))
+            s = F.adaptive_avg_pool2d(x, 1)
+            s = self._se_expand(self._swish(self._se_reduce(s)))
+            x = torch.sigmoid(s) * x
+            x = self._bn2(self._project_conv(x))
+            if self.stride == 1 and self.cin == self.cout:
+                if drop_connect_rate and self.training:
+                    keep = 1.0 - drop_connect_rate
+                    mask = keep + torch.rand(
+                        (x.shape[0], 1, 1, 1), dtype=x.dtype, device=x.device)
+                    x = x / keep * mask.floor_()
+                x = x + inputs
+            return x
+
+    class _GlobalParams:
+        drop_connect_rate = 0.2
+
+    class EfficientNet(nn.Module):
+        def __init__(self, name):
+            super().__init__()
+            width, depth = _EFFNET_PARAMS[name]
+            stem = _round_filters(32, width)
+            self._conv_stem = Conv2dStaticSamePadding(
+                3, stem, 3, stride=2, bias=False)
+            self._bn0 = nn.BatchNorm2d(stem, momentum=0.01, eps=1e-3)
+            blocks = []
+            for (r, k, s, e, ci, co, se) in _EFFNET_BASE_BLOCKS:
+                ci_r = _round_filters(ci, width)
+                co_r = _round_filters(co, width)
+                for i in range(_round_repeats(r, depth)):
+                    blocks.append(MBConvBlock(
+                        k, s if i == 0 else 1, e,
+                        ci_r if i == 0 else co_r, co_r, se))
+            self._blocks = nn.ModuleList(blocks)
+            head = _round_filters(1280, width)
+            self._conv_head = Conv2dStaticSamePadding(
+                blocks[-1].cout, head, 1, bias=False)
+            self._bn1 = nn.BatchNorm2d(head, momentum=0.01, eps=1e-3)
+            self._avg_pooling = nn.AdaptiveAvgPool2d(1)
+            self._dropout = nn.Dropout(0.2)
+            self._fc = nn.Linear(head, 1000)
+            self._swish = nn.SiLU()
+            self._global_params = _GlobalParams()
+
+        @classmethod
+        def from_name(cls, name, **_):
+            return cls(name)
+
+        @classmethod
+        def from_pretrained(cls, name, **_):
+            # no weight download in tests; checkpoint weights come from the
+            # converted state dict
+            return cls(name)
+
+    _mod('efficientnet_pytorch').EfficientNet = EfficientNet
+
+
+# -------------------------------------------------------------- torchvision
+def _install_torchvision():
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = norm_layer(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, layers=(2, 2, 2, 2), zero_init_residual=False):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(64, layers[0])
+            self.layer2 = self._make_layer(128, layers[1], 2)
+            self.layer3 = self._make_layer(256, layers[2], 2)
+            self.layer4 = self._make_layer(512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(512, 1000)
+
+        def _make_layer(self, planes, blocks, stride=1):
+            import torch.nn as nn
+            downsample = None
+            if stride != 1 or self.inplanes != planes:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes))
+            layers = [BasicBlock(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes
+            for _ in range(1, blocks):
+                layers.append(BasicBlock(planes, planes))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(self.avgpool(x).flatten(1))
+
+    def resnet18(pretrained=False, **kwargs):
+        kwargs.pop('num_classes', None)
+        return ResNet((2, 2, 2, 2), **kwargs)
+
+    import torch
+
+    class Normalize(nn.Module):
+        def __init__(self, mean, std, inplace=False):
+            super().__init__()
+            self.mean = torch.as_tensor(mean)
+            self.std = torch.as_tensor(std)
+
+        def forward(self, x):
+            shape = (-1,) + (1,) * (x.ndim - 3)
+            return (x - self.mean.reshape(shape)) / self.std.reshape(shape)
+
+    resnet = _mod('torchvision.models.resnet')
+    resnet.resnet18 = resnet18
+    resnet.BasicBlock = BasicBlock
+    _mod('torchvision.models').resnet = resnet
+    class Compose:
+        def __init__(self, fns):
+            self.fns = list(fns)
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic, np.float32) / 255.0
+            return torch.from_numpy(arr).permute(2, 0, 1).contiguous()
+
+    class ToPILImage:
+        def __call__(self, t):
+            from PIL import Image
+            arr = (t.clamp(0, 1) * 255).byte().permute(1, 2, 0).numpy()
+            return Image.fromarray(arr)
+
+    transforms = _mod('torchvision.transforms')
+    transforms.Normalize = Normalize
+    transforms.Compose = Compose
+    transforms.ToTensor = ToTensor
+    transforms.ToPILImage = ToPILImage
+    tv = _mod('torchvision')
+    tv.models = sys.modules['torchvision.models']
+    tv.transforms = transforms
+
+
+# --------------------------------------------------------------- mmcv/mmdet
+def _install_mm():
+    import torch.nn as nn
+
+    def _identity_decorator(*dargs, **dkwargs):
+        if len(dargs) == 1 and callable(dargs[0]) and not dkwargs:
+            return dargs[0]
+
+        def wrap(fn):
+            return fn
+        return wrap
+
+    runner = _mod('mmcv.runner')
+    runner.auto_fp16 = _identity_decorator
+    runner.force_fp32 = _identity_decorator
+
+    class Registry:
+        def __init__(self, name='registry'):
+            self._map = {}
+
+        def register_module(self, *args, **kwargs):
+            def deco(cls):
+                self._map[kwargs.get('name', cls.__name__)] = cls
+                return cls
+            if args and callable(args[0]):
+                return deco(args[0])
+            return deco
+
+        def get(self, key):
+            return self._map.get(key)
+
+        def build(self, cfg):
+            cfg = dict(cfg)
+            cls = self._map[cfg.pop('type')]
+            return cls(**cfg)
+
+    def build_norm_layer(cfg, num_features, postfix=''):
+        cfg = dict(cfg)
+        t = cfg.pop('type')
+        cfg.pop('requires_grad', None)
+        layer = {'BN1d': nn.BatchNorm1d, 'BN2d': nn.BatchNorm2d,
+                 'BN': nn.BatchNorm2d, 'BN3d': nn.BatchNorm3d}[t](
+                     num_features, **cfg)
+        return f'bn{postfix}', layer
+
+    cnn = _mod('mmcv.cnn')
+    cnn.CONV_LAYERS = Registry('conv')
+    cnn.build_norm_layer = build_norm_layer
+
+    def build_conv_layer(cfg, *args, **kwargs):
+        if cfg is None:
+            return nn.Conv2d(*args, **kwargs)
+        cfg = dict(cfg)
+        cls = cnn.CONV_LAYERS.get(cfg.pop('type'))
+        kwargs.update(cfg)
+        return cls(*args, **kwargs)
+
+    cnn.build_conv_layer = build_conv_layer
+    _mod('mmcv')
+
+    models = _mod('mmdet.models')
+    models.BACKBONES = Registry('backbones')
+    class MMBasicBlock(nn.Module):
+        """mmcv-flavor resnet BasicBlock: convs/norms built from cfg dicts
+        (this is what SparseBasicBlock key names come from: conv1/bn1/
+        conv2/bn2)."""
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, dilation=1,
+                     downsample=None, style='pytorch', with_cp=False,
+                     conv_cfg=None, norm_cfg=None, dcn=None, plugins=None):
+            super().__init__()
+            norm_cfg = norm_cfg or {'type': 'BN'}
+            self.norm1_name, norm1 = build_norm_layer(norm_cfg, planes,
+                                                      postfix=1)
+            self.norm2_name, norm2 = build_norm_layer(norm_cfg, planes,
+                                                      postfix=2)
+            self.conv1 = build_conv_layer(conv_cfg, inplanes, planes, 3,
+                                          stride=stride, padding=dilation,
+                                          dilation=dilation, bias=False)
+            self.add_module(self.norm1_name, norm1)
+            self.conv2 = build_conv_layer(conv_cfg, planes, planes, 3,
+                                          padding=1, bias=False)
+            self.add_module(self.norm2_name, norm2)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        @property
+        def norm1(self):
+            return getattr(self, self.norm1_name)
+
+        @property
+        def norm2(self):
+            return getattr(self, self.norm2_name)
+
+    class MMBottleneck(MMBasicBlock):
+        """Skeleton base for the dormant SparseBottleneck."""
+        expansion = 4
+
+    backbones_resnet = _mod('mmdet.models.backbones.resnet')
+    backbones_resnet.BasicBlock = MMBasicBlock
+    backbones_resnet.Bottleneck = MMBottleneck
+    _mod('mmdet.models.backbones').resnet = backbones_resnet
+    _mod('mmdet')
+
+
+# ----------------------------------------------------------- tiny leftovers
+def _install_misc():
+    # the reference predates numpy 1.24 (np.int/np.float/np.bool aliases)
+    for alias, repl in (('int', int), ('float', float), ('bool', bool),
+                        ('object', object), ('long', int)):
+        if not hasattr(np, alias):
+            setattr(np, alias, repl)
+
+    cachetools = _mod('cachetools')
+
+    def cached(cache=None, key=None, lock=None):
+        def deco(fn):
+            return fn
+        return deco
+
+    cachetools.cached = cached
+    cachetools.LRUCache = dict
+
+    # the devkit's map API pulls shapely/descartes (absent); reference code
+    # paths under test never touch the map — pre-stub so `import nuscenes`
+    # side-effect chains succeed
+    class _UnavailableMap:
+        def __init__(self, *a, **k):
+            raise ImportError('NuScenesMap stubbed out (shapely absent)')
+
+    nusc_root = f'{REFERENCE_ROOT}/nuscenes-devkit/python-sdk/nuscenes'
+    nusc = _mod('nuscenes')
+    nusc.__path__ = [nusc_root]          # real submodules keep resolving
+    me = _mod('nuscenes.map_expansion')
+    me.__path__ = [f'{nusc_root}/map_expansion']
+    map_api = _mod('nuscenes.map_expansion.map_api')
+    map_api.NuScenesMap = _UnavailableMap
+    _mod('descartes').PolygonPatch = None
+
+
+_installed = False
+
+
+def install():
+    """Install all stubs and put the reference tree on sys.path."""
+    global _installed
+    if _installed:
+        return
+    _install_timm()
+    _install_fvcore()
+    _install_pyquaternion()
+    _install_skimage()
+    _install_lightning()
+    _install_efficientnet()
+    _install_torchvision()
+    _install_mm()
+    _install_misc()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    devkit = f'{REFERENCE_ROOT}/nuscenes-devkit/python-sdk'
+    if devkit not in sys.path:
+        sys.path.append(devkit)
+    _installed = True
+
+
+def load_ref_sparse_encoder():
+    """Import the reference SparseEncoder tree (mmdet3d spconv modules) by
+    file path, stubbing the compiled extension (only needed at forward)."""
+    import importlib.util
+
+    install()
+    _mod('mmdet3d.ops.spconv.sparse_conv_ext')   # compiled ext stub
+
+    def _load(name, relpath):
+        if name in sys.modules:
+            return sys.modules[name]
+        spec = importlib.util.spec_from_file_location(
+            name, f'{REFERENCE_ROOT}/{relpath}')
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[name] = m
+        parent, child = name.rsplit('.', 1)
+        setattr(_mod(parent), child, m)
+        spec.loader.exec_module(m)
+        return m
+
+    _mod('mmdet3d.ops.spconv')
+    _load('mmdet3d.ops.spconv.structure', 'mmdet3d/ops/spconv/structure.py')
+    _load('mmdet3d.ops.spconv.ops', 'mmdet3d/ops/spconv/ops.py')
+    _load('mmdet3d.ops.spconv.functional', 'mmdet3d/ops/spconv/functional.py')
+    _load('mmdet3d.ops.spconv.modules', 'mmdet3d/ops/spconv/modules.py')
+    _load('mmdet3d.ops.spconv.conv', 'mmdet3d/ops/spconv/conv.py')
+    _load('mmdet3d.ops.spconv.pool', 'mmdet3d/ops/spconv/pool.py')
+    spconv = sys.modules['mmdet3d.ops.spconv']
+    conv_mod = sys.modules['mmdet3d.ops.spconv.conv']
+    mod_mod = sys.modules['mmdet3d.ops.spconv.modules']
+    for m in (conv_mod, mod_mod):
+        for n in dir(m):
+            if not n.startswith('_'):
+                setattr(spconv, n, getattr(m, n))
+
+    ops_pkg = _mod('mmdet3d.ops')
+    ops_pkg.spconv = spconv
+    sblock = _load('mmdet3d.ops.sparse_block', 'mmdet3d/ops/sparse_block.py')
+    ops_pkg.SparseBasicBlock = sblock.SparseBasicBlock
+    ops_pkg.make_sparse_convmodule = sblock.make_sparse_convmodule
+    _mod('mmdet3d.models.backbones')
+    se = _load('mmdet3d.models.backbones.sparse_encoder',
+               'mmdet3d/models/backbones/sparse_encoder.py')
+    return se.SparseEncoder
+
+
+def load_ref_streamingflow():
+    """Import the reference top-level `streamingflow` model class, with the
+    CUDA-op surface stubbed (bev_pool/voxelize are only hit at forward)."""
+    import torch.nn as nn
+
+    SparseEncoder = load_ref_sparse_encoder()
+    ops_pkg = sys.modules['mmdet3d.ops']
+
+    class _ParamlessOp(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    if not hasattr(ops_pkg, 'Voxelization'):
+        ops_pkg.bev_pool = None
+        ops_pkg.Voxelization = _ParamlessOp
+        ops_pkg.DynamicScatter = _ParamlessOp
+        builder = _mod('mmdet3d.models.builder')
+
+        def build_backbone(cfg):
+            cfg = dict(cfg)
+            assert cfg.pop('type') == 'SparseEncoder'
+            return SparseEncoder(**cfg)
+
+        builder.build_backbone = build_backbone
+
+    from streamingflow.models.streamingflow import streamingflow
+    return streamingflow
+
+
+def ref_flagship_cfg():
+    """The reference shipped config, loaded through the reference's own
+    config module (fvcore CfgNode shim)."""
+    install()
+    from streamingflow import config as RC
+    cfg = RC._C.clone()
+    cfg.merge_from_file(
+        f'{REFERENCE_ROOT}/streamingflow/configs/'
+        'Prediction_LC_ODE_Variable.yml')
+    return cfg
+
+
+def attach_task_weights(model, cfg):
+    """Mirror the trainer's task-weight attachment (reference
+    trainer.py:46-101) so state_dict matches a real checkpoint minus the
+    'model.' prefix."""
+    import torch
+    import torch.nn as nn
+
+    def p():
+        return nn.Parameter(torch.tensor(0.0), requires_grad=True)
+
+    model.segmentation_weight = p()
+    if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+        model.pedestrian_weight = p()
+    if cfg.SEMANTIC_SEG.HDMAP.ENABLED:
+        model.hdmap_weight = p()
+    if cfg.LIFT.GT_DEPTH:
+        model.depths_weight = p()
+    if cfg.INSTANCE_SEG.ENABLED:
+        model.centerness_weight = p()
+        model.offset_weight = p()
+    if cfg.INSTANCE_FLOW.ENABLED:
+        model.flow_weight = p()
+    if cfg.PLANNING.ENABLED:
+        model.planning_weight = p()
+    return model

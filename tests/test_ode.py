@@ -105,25 +105,67 @@ def test_batch_samples_independent():
     assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]))
 
 
-def test_fixed_step_counts_match_reference_loop():
-    """In fixed-step mode the number of Euler steps between events equals the
-    reference's while-loop iteration count."""
-    delta_t = 0.5
+def _time_probe(mdl, obs_times, obs, inp, target_times):
+    """Drive one obs event + one target event and expose the integration
+    clock: in fixed-step mode the clock advances delta_t per *effective*
+    step, so final times directly encode the step counts of the reference
+    while-loops (temporal_ode_bayes.py:539-549, :585-593)."""
+    hx = mdl.srvp_encoder(obs[:, 0], train=False)
+    inp_enc = mdl.srvp_encoder(inp[:, 0], train=False)
+    state = jnp.zeros_like(inp_enc)
+    t0 = jnp.min(obs_times, axis=1)
+    carry, _ = mdl._obs_event((state, inp_enc, t0),
+                              (obs_times[:, 0], hx), False)
+    t_after_obs = carry[2]
+    carry, (_, rec_time, rec_valid) = mdl._target_event(
+        carry, target_times[:, 0], False)
+    return t_after_obs, carry[2], rec_time, rec_valid
 
-    class Probe(GRUODEBayes):
-        pass
 
-    m = make_model(variable_step=False, delta_t=delta_t, max_gap_seconds=2.0)
-    # single obs at t=0, target at t=2.0 -> reference takes 4 steps of 0.5
-    obs_times = jnp.asarray([[0.0]])
+def _run_probe(m, t_target=2.0):
     rng = np.random.RandomState(2)
+    obs_times = jnp.asarray([[0.0]])
     obs = jnp.asarray(rng.randn(1, 1, HW, HW, C).astype(np.float32))
     inp = jnp.asarray(rng.randn(1, 1, HW, HW, C).astype(np.float32))
-    tt = jnp.asarray([[2.0]])
+    tt = jnp.asarray([[t_target]])
     v = m.init({'params': KEY, 'dropout': KEY, 'sample': KEY},
                obs_times, obs, inp, tt)
-    out = m.apply(v, obs_times, obs, inp, tt)
-    assert np.isfinite(np.asarray(out)).all()
+    out = m.apply(v, obs_times, obs, inp, tt, method=_time_probe,
+                  rngs={'sample': KEY})
+    return [np.asarray(x) for x in out]
+
+
+def test_fixed_step_counts_match_reference_loop():
+    """Fixed-step mode: obs at t=0 -> 0 steps; target at t=2.0 with
+    delta_t=0.5 -> exactly 4 Euler steps (clock lands exactly on 2.0),
+    matching the reference loop iteration count (ref :539-549, :585-593)."""
+    m = make_model(variable_step=False, delta_t=0.5, max_gap_seconds=2.0)
+    t_obs, t_final, rec_time, rec_valid = _run_probe(m)
+    np.testing.assert_allclose(t_obs, [0.0])          # no pre-obs stepping
+    np.testing.assert_allclose(t_final, [2.0])        # 4 x 0.5, not 3 or 5
+    assert bool(rec_valid[0])
+    np.testing.assert_allclose(rec_time, [2.0], atol=1e-6)
+
+
+def test_fixed_step_capped_by_substep_budget():
+    """The static tape allocates ceil(max_gap/delta_t) sub-steps per event;
+    a gap larger than max_gap runs exactly that many effective steps (the
+    clock stops at max_gap) — proving the masked sub-steps are real steps,
+    not no-ops."""
+    m = make_model(variable_step=False, delta_t=0.5, max_gap_seconds=1.0)
+    _, t_final, _, rec_valid = _run_probe(m, t_target=2.0)
+    np.testing.assert_allclose(t_final, [1.0])        # 2 substeps x 0.5
+    assert not bool(rec_valid[0])                     # never reached window
+
+
+def test_variable_step_consumes_gap_in_one_step():
+    """Variable-step mode integrates obs->target gaps in a single step of
+    size gap (ref :546-549): the clock jumps straight to the target."""
+    m = make_model(variable_step=True, delta_t=0.5, max_gap_seconds=2.0)
+    t_obs, t_final, rec_time, rec_valid = _run_probe(m)
+    np.testing.assert_allclose(t_obs, [0.0])
+    np.testing.assert_allclose(t_final, [2.0])
+    assert bool(rec_valid[0])
 
 
 @pytest.mark.parametrize('solver', ['euler', 'midpoint'])

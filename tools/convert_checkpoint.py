@@ -34,8 +34,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--torch-ckpt', required=True)
     ap.add_argument('--config-file', required=True)
-    ap.add_argument('--rules', required=True,
-                    help='python file defining RULES')
+    ap.add_argument('--rules',
+                    default=os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)),
+                        'rules_prediction_lc_ode_variable.py'),
+                    help='python file defining RULES (default: the bundled '
+                         'flagship Prediction_LC_ODE_Variable table)')
     ap.add_argument('--out', required=True, help='output checkpoint dir')
     ap.add_argument('--lenient-shapes', action='store_true')
     args = ap.parse_args()
