@@ -56,6 +56,13 @@ def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray,
     Returns a VoxelSet with `max_voxels` capacity.  Matches the reference
     hard voxelizer + ``voxelize_reduce`` mean (streamingflow.py:170-200):
     at most `max_points` points (first in point order) contribute per voxel.
+
+    Documented deviation: when a cloud exceeds `max_voxels`, the reference
+    CUDA hard voxelizer keeps voxels in first-encounter (point-order)
+    order (voxelization_cuda.cu) while this sort-based engine keeps the
+    `max_voxels` lowest linearised ids.  Both drops are physically
+    arbitrary; the shipped caps (120-160k) exceed real nuScenes clouds, so
+    the branch only binds on synthetic overflow (docs/PARITY.md).
     """
     pc_range = jnp.asarray(point_cloud_range, jnp.float32)
     vsize = jnp.asarray(voxel_size, jnp.float32)
