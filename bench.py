@@ -29,6 +29,7 @@ def full_cfg():
     cfg.MODEL.MODALITY.USE_LIDAR = True
     cfg.MODEL.FUTURE_PRED.USE_VARIABLE_ODE_STEP = True
     cfg.MODEL.IMPUTE = True
+    cfg.MODEL.BEV_POOL_BACKEND = 'pallas_patch'
     cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED = False
     cfg.SEMANTIC_SEG.HDMAP.ENABLED = False
     cfg.PLANNING.ENABLED = False

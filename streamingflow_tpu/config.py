@@ -195,6 +195,10 @@ class ModelConfig:
     IMPUTE: bool = False
     STEP_DELTA_T: float = 0.05
     BN_MOMENTUM: float = 0.1
+    # camera lift-splat pooling: 'scatter' (XLA segment-sum, fp32-exact
+    # default), 'sorted' (bit-exact reference order), or 'pallas_patch'
+    # (structural MXU kernel, ops/pallas_patch_pool.py — the fast TPU path)
+    BEV_POOL_BACKEND: str = 'scatter'
     MODALITY: ModalityConfig = field(default_factory=ModalityConfig)
     LIDAR: LidarModelConfig = field(default_factory=LidarModelConfig)
     SMALL_ENCODER: SmallEncoderConfig = field(default_factory=SmallEncoderConfig)

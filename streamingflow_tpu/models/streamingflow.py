@@ -181,7 +181,8 @@ class StreamingFlow(nn.Module):
         bev = projection_to_birds_eye_view(
             x, geometry, ego_mat, self.bev_start_position,
             self.bev_resolution, self.bev_dimension,
-            discount=self.cfg.LIFT.DISCOUNT)
+            discount=self.cfg.LIFT.DISCOUNT,
+            backend=self.cfg.MODEL.BEV_POOL_BACKEND)
         return bev, depth_out, cam_front
 
     # ------------------------------------------------------------------- main

@@ -91,6 +91,27 @@ def warp_geometry_to_present(geometry: jnp.ndarray,
     return out + trans[:, :, None, None, None, None, :]
 
 
+def _patch_backend(x, geom, bev_start_position, bev_resolution,
+                   bev_dimension, interpret: bool = False):
+    """Structural Pallas pooling (ops/pallas_patch_pool.py): quantize +
+    filter in XLA, pool each frame with the patch kernel."""
+    from .pallas_patch_pool import patch_pool_frames
+
+    B, S, N, D, fH, fW, C = x.shape
+    nx, ny, nz = (int(bev_dimension[0]), int(bev_dimension[1]),
+                  int(bev_dimension[2]))
+    coords = quantize_geometry(geom, bev_start_position, bev_resolution)
+    kept = ((coords[..., 0] >= 0) & (coords[..., 0] < nx)
+            & (coords[..., 1] >= 0) & (coords[..., 1] < ny)
+            & (coords[..., 2] >= 0) & (coords[..., 2] < nz))
+    flat_x = x.reshape(B * S, N, D, fH, fW, C)
+    flat_c = coords[..., :2].reshape(B * S, N, D, fH, fW, 2)
+    flat_k = kept.reshape(B * S, N, D, fH, fW)
+    pooled, _drops = patch_pool_frames(flat_x, flat_c, flat_k, nx, ny,
+                                       interpret=interpret)
+    return pooled.reshape(B, S, nx, ny, C).astype(x.dtype)
+
+
 def projection_to_birds_eye_view(x: jnp.ndarray, geometry: jnp.ndarray,
                                  future_egomotion_mat: jnp.ndarray,
                                  bev_start_position, bev_resolution,
@@ -108,15 +129,19 @@ def projection_to_birds_eye_view(x: jnp.ndarray, geometry: jnp.ndarray,
     B, S, N, D, fH, fW, C = x.shape
     geom = warp_geometry_to_present(geometry, future_egomotion_mat)
 
-    pool = functools.partial(
-        bev_pool, bev_start_position=bev_start_position,
-        bev_resolution=bev_resolution, bev_dimension=bev_dimension,
-        backend=backend)
+    if backend == 'pallas_patch':
+        pooled = _patch_backend(x, geom, bev_start_position, bev_resolution,
+                                bev_dimension)
+    else:
+        pool = functools.partial(
+            bev_pool, bev_start_position=bev_start_position,
+            bev_resolution=bev_resolution, bev_dimension=bev_dimension,
+            backend=backend)
 
-    flat_x = x.reshape(B * S, N * D * fH * fW, C)
-    flat_g = geom.reshape(B * S, N * D * fH * fW, 3)
-    pooled = jax.vmap(pool)(flat_x, flat_g)            # (B*S, X, Y, C)
-    pooled = pooled.reshape(B, S, *pooled.shape[1:])
+        flat_x = x.reshape(B * S, N * D * fH * fW, C)
+        flat_g = geom.reshape(B * S, N * D * fH * fW, 3)
+        pooled = jax.vmap(pool)(flat_x, flat_g)        # (B*S, X, Y, C)
+        pooled = pooled.reshape(B, S, *pooled.shape[1:])
 
     def step(acc, frame):
         acc = acc * discount + frame
