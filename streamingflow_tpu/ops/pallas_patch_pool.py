@@ -41,6 +41,7 @@ from .pallas_bin import _use_pallas
 PATCH_H = 16          # x-cells per patch
 PATCH_W = 24          # y-cells per patch (multiple of 8: sublane alignment)
 ROWS = 128            # padded rows per group
+LANES = 66            # feature lanes (64) + x + y coord lanes
 UBLOCK = 4            # image columns per group
 GROUPS_PER_STEP = 8   # groups processed per grid step (amortises step cost)
 
@@ -66,7 +67,7 @@ def _one_group(rows, out_ref, drop_ref, *, nx: int, ny: int, n_chan: int):
     # quantity in f32 (coords < 256 are exact; int converts on (128,)
     # vectors trip unsupported relayouts)
     rows_f = rows.astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
     # (ROWS, 1) columns throughout — 1-D (ROWS,) vectors carry implicit-dim
     # layouts that trip Mosaic relayouts on select/convert/reduce
     x = jnp.sum(jnp.where(lane == n_chan, rows_f, 0.0), axis=1,
@@ -120,7 +121,7 @@ def _one_group(rows, out_ref, drop_ref, *, nx: int, ny: int, n_chan: int):
 @functools.partial(jax.jit, static_argnames=('nx', 'ny', 'interpret'))
 def _patch_pool_pallas(packed: jnp.ndarray, nx: int, ny: int,
                        interpret: bool = False):
-    """packed: (F, G, ROWS, 128) bf16 — lanes [0:C]=features, C=x, C+1=y
+    """packed: (F, G, ROWS, LANES) bf16 — lanes [0:C]=features, C=x, C+1=y
     (x = -1 marks invalid rows).  Returns ((F, nx, ny, C) fp32, (F,) drops).
     """
     f, g = packed.shape[:2]
@@ -129,15 +130,15 @@ def _patch_pool_pallas(packed: jnp.ndarray, nx: int, ny: int,
     n_steps = -(-g // gb)
     pad_g = n_steps * gb - g
     if pad_g:
-        pad = jnp.zeros((f, pad_g, ROWS, 128), packed.dtype)
+        pad = jnp.zeros((f, pad_g, ROWS, LANES), packed.dtype)
         pad = pad.at[..., n_chan].set(-1.0)
         packed = jnp.concatenate([packed, pad], axis=1)
-    packed = packed.reshape(f, n_steps, gb, ROWS, 128)
+    packed = packed.reshape(f, n_steps, gb, ROWS, LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(f, n_steps),
-        in_specs=[pl.BlockSpec((1, 1, gb, ROWS, 128),
+        in_specs=[pl.BlockSpec((1, 1, gb, ROWS, LANES),
                                lambda b, i: (b, i, 0, 0, 0))],
         out_specs=[
             pl.BlockSpec((1, nx, ny, n_chan), lambda b, i: (b, 0, 0, 0)),
@@ -161,7 +162,7 @@ def pack_frustum_rows(x: jnp.ndarray, coords: jnp.ndarray,
     x:      (F, N, D, fH, fW, C<=64) features
     coords: (F, N, D, fH, fW, 2) int32 BEV cell coords
     kept:   (F, N, D, fH, fW) validity
-    Returns (F, G, ROWS, 128) bf16 with G = N*D*ceil(fW/UBLOCK) groups of
+    Returns (F, G, ROWS, LANES) bf16 with G = N*D*ceil(fW/UBLOCK) groups of
     fH*UBLOCK rows (padded to ROWS with invalid rows)."""
     f, n, d, fh, fw, c = x.shape
     assert c <= 64
@@ -174,20 +175,26 @@ def pack_frustum_rows(x: jnp.ndarray, coords: jnp.ndarray,
 
     cx = jnp.where(kept, coords[..., 0], -1)
     cy = jnp.where(kept, coords[..., 1], -1)
+
+    def group(t):
+        # (F, N, D, fH, WB, UB, L) -> groups (N, D, WB) x rows (fH, UB)
+        l = t.shape[-1]
+        t = t.reshape(f, n, d, fh, wb, UBLOCK, l)
+        t = jnp.transpose(t, (0, 1, 2, 4, 3, 5, 6))
+        return t.reshape(f, n * d * wb, fh * UBLOCK, l)
+
+    # transpose each stream *before* concatenating: the feature transpose
+    # moves 64 lanes instead of 128, and the lane count stays at the
+    # logical 66 (no zero-padding writes; HBM tiles pad physically anyway)
     lanes = jnp.concatenate(
-        [x.astype(jnp.bfloat16),
-         cx[..., None].astype(jnp.bfloat16),
-         cy[..., None].astype(jnp.bfloat16),
-         jnp.zeros((*x.shape[:-1], 128 - c - 2), jnp.bfloat16)], axis=-1)
-    # (F, N, D, fH, WB, UB, 128) -> groups (N, D, WB) x rows (fH, UB)
-    lanes = lanes.reshape(f, n, d, fh, wb, UBLOCK, 128)
-    lanes = jnp.transpose(lanes, (0, 1, 2, 4, 3, 5, 6))
-    lanes = lanes.reshape(f, n * d * wb, fh * UBLOCK, 128)
+        [group(x.astype(jnp.bfloat16)),
+         group(cx[..., None].astype(jnp.bfloat16)),
+         group(cy[..., None].astype(jnp.bfloat16))], axis=-1)
     pad_rows = ROWS - fh * UBLOCK
     assert pad_rows >= 0, 'group rows exceed the ROWS budget'
     if pad_rows:
-        pad = jnp.zeros((f, lanes.shape[1], pad_rows, 128), jnp.bfloat16)
-        pad = pad.at[..., 64].set(-1.0)
+        pad = jnp.zeros((f, lanes.shape[1], pad_rows, LANES), jnp.bfloat16)
+        pad = pad.at[..., c].set(-1.0)
         lanes = jnp.concatenate([lanes, pad], axis=2)
     return lanes
 

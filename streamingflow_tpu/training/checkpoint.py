@@ -48,6 +48,43 @@ class CheckpointManager:
         with open(os.path.join(self.directory, 'config.json')) as f:
             return Config().merge_dict(_strip_extra(json.load(f)))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a template (raw pytree of arrays) — for partial /
+        cross-model loads such as the single-frame warm start."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f'no checkpoint in {self.directory}')
+        return self._mgr.restore(step)
+
+
+def warm_start(state: Any, pretrained_dir: str, drop: str = 'decoder'
+               ) -> Tuple[Any, int]:
+    """Partial load of a (possibly single-frame) pretrained checkpoint,
+    dropping any path containing ``drop`` — reference train.py:50-58
+    ('remove decoder weights, strict=False').
+
+    Only leaves that exist in the current tree with identical shapes are
+    copied.  Returns (new_state, n_loaded_leaves)."""
+    from ..utils.torch_convert import flatten_tree, unflatten_tree
+
+    raw = CheckpointManager(pretrained_dir).restore_raw()
+    src = {'params': raw.get('params', {}),
+           'batch_stats': raw.get('batch_stats', {})}
+    dst = {'params': state.params, 'batch_stats': state.batch_stats}
+    flat_src = flatten_tree(jax.tree.map(lambda x: x, src))
+    flat_dst = flatten_tree(jax.tree.map(lambda x: x, dst))
+    n = 0
+    for path, v in flat_src.items():
+        if drop in path or path not in flat_dst:
+            continue
+        if tuple(getattr(v, 'shape', ())) != tuple(flat_dst[path].shape):
+            continue
+        flat_dst[path] = v
+        n += 1
+    merged = unflatten_tree(flat_dst)
+    return state.replace(params=merged['params'],
+                         batch_stats=merged['batch_stats']), n
+
 
 def _strip_extra(d):
     return d

@@ -1,0 +1,156 @@
+"""Multi-device data-parallel correctness: one jitted train step over an
+8-device mesh must equal the same step over 1 device on the same global batch.
+
+This is the TPU-native proof of the reference's DDP equivalence
+(train.py:78-88): pjit/GSPMD semantics are "as if on one device", so the
+gradient all-reduce (reference: NCCL allreduce at backward) and the global
+BatchNorm statistics (reference: sync_batchnorm=True train.py:81,
+mmdet3d/ops/norm.py:9-60 NaiveSyncBatchNorm) fall out of sharding the batch
+axis while replicating parameters — verified numerically here, not claimed.
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import _flagship_cfg  # noqa: E402
+from streamingflow_tpu.data import make_batch  # noqa: E402
+from streamingflow_tpu.training import trainer as TR  # noqa: E402
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs the virtual 8-device CPU mesh')
+
+
+def _tree_copy(tree):
+    # make_train_step donates the state; run each mesh size on its own copy
+    return jax.tree.map(jnp.copy, tree)
+
+
+def _tree_allclose(a, b, rtol, atol, path=''):
+    la, lb = jax.tree_util.tree_leaves_with_path(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for (kp, x), y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol,
+            err_msg=f'{path}{jax.tree_util.keystr(kp)}')
+
+
+def _make_grad_fn(cfg):
+    """Raw parameter gradients for one step (no optimizer) — the direct
+    analogue of DDP's post-allreduce gradients.  Traced at float32 matmul
+    precision: the default bf16-like precision makes partitioned and
+    unpartitioned convs legitimately disagree at the 1% level, which would
+    mask real sharding bugs."""
+    def f(state, batch, rng):
+        with jax.default_matmul_precision('float32'):
+            labels = TR.prepare_future_labels(batch, cfg)
+            args = TR.batch_to_model_args(batch, cfg)
+            rngs = {'dropout': rng, 'sample': jax.random.fold_in(rng, 1)}
+
+            def loss_fn(params):
+                (output, weights), _ = state.apply_fn(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    **args, train=True, rngs=rngs, mutable=['batch_stats'])
+                return sum(TR.compute_losses(output, labels, weights,
+                                             cfg).values())
+
+            return jax.grad(loss_fn)(state.params)
+    return jax.jit(f)
+
+
+@pytest.fixture(scope='module')
+def multichip_run():
+    cfg = _flagship_cfg(micro=True)
+    rng = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=8, n_points=128).items()}
+    state = TR.create_train_state(cfg, rng, batch)
+    step = TR.make_train_step(cfg)
+    grad_fn = _make_grad_fn(cfg)
+    step_rng = jax.random.PRNGKey(1)
+
+    dev0 = jax.devices()[0]
+    b1 = {k: jax.device_put(v, dev0) for k, v in batch.items()}
+    grads1 = grad_fn(jax.device_put(_tree_copy(state), dev0), b1, step_rng)
+    state1, metrics1 = step(
+        jax.device_put(_tree_copy(state), dev0), b1, step_rng)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+    data = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+    b8 = {k: jax.device_put(v, data) for k, v in batch.items()}
+    grads8 = grad_fn(jax.device_put(_tree_copy(state), repl), b8, step_rng)
+    state8, metrics8 = step(
+        jax.device_put(_tree_copy(state), repl), b8, step_rng)
+
+    return jax.device_get(
+        (state1, metrics1, state8, metrics8, grads1, grads8))
+
+
+def test_loss_finite_and_equal(multichip_run):
+    _, m1, _, m8, _, _ = multichip_run
+    assert np.isfinite(m1['total_loss'])
+    assert np.isfinite(m8['total_loss'])
+    np.testing.assert_allclose(m8['total_loss'], m1['total_loss'],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match_single_device(multichip_run):
+    """The DDP-equivalence core: post-psum gradients on the 8-device mesh
+    equal the 1-device gradients on the same global batch.
+
+    Metric: per-leaf relative L2.  Partitioned and unpartitioned
+    executions use different fp32/bf16 blocking, and that rounding
+    compounds through deep backprop (measured up to ~5% on
+    cancellation-dominated BN bias sums; unchanged by forcing f32
+    matmul precision).  A missing or wrong gradient collective is a
+    different regime entirely: O(1) relative error (~8x on a sum-vs-mean
+    bug), so the 10% per-leaf / 2% global bounds separate rounding from
+    real sharding bugs (measured: 1.4% global on a correct step; ~700%
+    on a seeded sum-vs-mean collective bug)."""
+    _, _, _, _, g1, g8 = multichip_run
+    leaves1 = jax.tree_util.tree_leaves_with_path(g1)
+    leaves8 = jax.tree.leaves(g8)
+    tot_d = tot_n = 0.0
+    for (kp, a), b in zip(leaves1, leaves8):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        d = float(np.linalg.norm(b - a))
+        n = float(np.linalg.norm(a))
+        tot_d += d * d
+        tot_n += n * n
+        # absolute floor: leaves whose whole gradient is ~1e-6 (e.g. a BN
+        # bias that cancels) are pure rounding noise in both runs
+        assert d <= 0.10 * n + 1e-5, \
+            f'grads{jax.tree_util.keystr(kp)}: rel L2 {d / (n + 1e-12):.4f}'
+    assert tot_d ** 0.5 <= 0.02 * tot_n ** 0.5
+
+
+def test_params_match_single_device(multichip_run):
+    """Post-Adam params agree within the per-step update bound: Adam's
+    g/(sqrt(v)+eps) amplifies reassociation noise on near-zero gradients,
+    but any single step moves a parameter by at most ~lr, so 2*lr bounds
+    the legitimate divergence."""
+    s1, _, s8, _, _, _ = multichip_run
+    from __graft_entry__ import _flagship_cfg
+    lr = _flagship_cfg(micro=True).OPTIMIZER.LR
+    _tree_allclose(s8.params, s1.params, rtol=0, atol=2 * lr, path='params')
+
+
+def test_batch_stats_are_global(multichip_run):
+    """Sync-BN proof: running stats after the sharded step equal the
+    1-device stats, which are by construction global-batch statistics.
+    The production step runs at default (bf16-like) matmul precision, so
+    partitioned activations feeding the stats legitimately differ at the
+    1e-3 relative level; anything beyond that is a sharding bug."""
+    s1, _, s8, _, _, _ = multichip_run
+    assert jax.tree_util.tree_leaves(s1.batch_stats), 'model must carry BN'
+    _tree_allclose(s8.batch_stats, s1.batch_stats, rtol=3e-3, atol=1e-5,
+                   path='batch_stats')

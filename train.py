@@ -19,8 +19,52 @@ from streamingflow_tpu.config import get_cfg, get_parser
 from streamingflow_tpu.data.dataloader import prepare_dataloaders
 from streamingflow_tpu.parallel import make_data_parallel_step, make_mesh
 from streamingflow_tpu.training import trainer as TR
-from streamingflow_tpu.training.checkpoint import CheckpointManager
+from streamingflow_tpu.training.checkpoint import CheckpointManager, warm_start
 from streamingflow_tpu.training.logging import MetricsLogger, SimpleProfiler
+
+
+def run_validation(state, valloader, cfg, eval_fwd):
+    """Epoch validation metrics (reference trainer.py:226-281 /
+    validation_epoch_end): vehicle IoU (+pedestrian), panoptic PQ."""
+    from streamingflow_tpu.postprocess import (
+        predict_instance_segmentation_and_trajectories)
+    from streamingflow_tpu.training.metrics import (IntersectionOverUnion,
+                                                    PanopticMetric)
+    n_classes = len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS)
+    metric_vehicle = IntersectionOverUnion(n_classes)
+    metric_panoptic = PanopticMetric(n_classes=n_classes)
+    metric_ped = (IntersectionOverUnion(n_classes)
+                  if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED else None)
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    for batch_np in valloader:
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if isinstance(v, np.ndarray)}
+        labels = TR.prepare_future_labels(batch, cfg)
+        output = eval_fwd(state, batch)
+        seg_pred = np.argmax(np.asarray(output['segmentation']), axis=-1)
+        seg_label = np.asarray(labels['segmentation'])[..., 0]
+        metric_vehicle.update(seg_pred[:, rf - 1:], seg_label[:, rf - 1:])
+        if metric_ped is not None:
+            ped_pred = np.argmax(np.asarray(output['pedestrian']), axis=-1)
+            metric_ped.update(
+                ped_pred[:, rf - 1:],
+                np.asarray(labels['pedestrian'])[..., 0][:, rf - 1:])
+        if cfg.INSTANCE_SEG.ENABLED:
+            consistent = predict_instance_segmentation_and_trajectories(
+                {k: np.asarray(v) for k, v in output.items()
+                 if v is not None and k in ('segmentation', 'instance_center',
+                                            'instance_offset',
+                                            'instance_flow')})
+            metric_panoptic.update(
+                consistent[:, rf - 1:],
+                np.asarray(labels['instance'])[:, rf - 1:])
+    results = {'vehicle_iou': float(np.asarray(metric_vehicle.compute())[-1])}
+    for k, v in metric_panoptic.compute().items():
+        results[f'panoptic_{k}'] = float(np.asarray(v)[-1])
+    if metric_ped is not None:
+        results['pedestrian_iou'] = float(
+            np.asarray(metric_ped.compute())[-1])
+    return results
 
 
 def main():
@@ -38,7 +82,13 @@ def main():
 
     rng = jax.random.PRNGKey(42)
     state = TR.create_train_state(cfg, rng, batch)
+    if cfg.PRETRAINED.LOAD_WEIGHTS:
+        # single-frame warm start, decoder keys dropped (ref train.py:50-58)
+        state, n = warm_start(state, cfg.PRETRAINED.PATH)
+        print(f'warm start: loaded {n} tensors from {cfg.PRETRAINED.PATH} '
+              '(decoder dropped)')
     step_fn = make_data_parallel_step(cfg, mesh)
+    eval_fwd = jax.jit(lambda s, b: TR.eval_forward(s, b, cfg))
 
     save_dir = os.path.join(cfg.LOG_DIR, cfg.TAG, 'checkpoints')
     ckpt = CheckpointManager(save_dir)
@@ -70,8 +120,23 @@ def main():
                 dt = time.time() - t0
                 print(f'epoch {epoch} step {global_step} '
                       f'loss {loss:.4f} ({dt:.1f}s)', flush=True)
+            if cfg.VIS_INTERVAL and global_step % cfg.VIS_INTERVAL == 0:
+                # BEV prediction video (reference trainer.py:396-409)
+                from streamingflow_tpu.utils.visualisation import \
+                    visualise_output
+                labels = TR.prepare_future_labels(batch, cfg)
+                output = eval_fwd(state, batch)
+                frames = visualise_output(
+                    jax.device_get(labels), jax.device_get(output),
+                    n_present=cfg.TIME_RECEPTIVE_FIELD)
+                logger.video('train_outputs', frames, global_step)
         with profiler.span('checkpoint'):
             ckpt.save(epoch + 1, state, cfg)
+        with profiler.span('validation'):
+            val_metrics = run_validation(state, valloader, cfg, eval_fwd)
+        logger.scalars(val_metrics, epoch + 1, prefix='val/')
+        print('val ' + ' '.join(f'{k}={v:.4f}'
+                                for k, v in val_metrics.items()), flush=True)
         # uncertainty-weight tracking (reference trainer.py:426-486)
         tw = state.params.get('task_weights', {})
         logger.scalars({k: 1.0 / (2.0 * np.exp(np.asarray(v)))
