@@ -94,8 +94,11 @@ def _one_group(rows, out_ref, drop_ref, *, nx: int, ny: int, n_chan: int):
 
     n_local = PATCH_H * PATCH_W
     iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, n_local), 1)
-    onehot = jnp.where(lid == iota.astype(jnp.float32), 1.0, 0.0)
-    feats = rows_f[:, :n_chan]
+    # bf16 operands at full MXU rate, fp32 accumulate: one-hot 0/1 and the
+    # already-bf16 features are exact in bf16
+    onehot = jnp.where(lid == iota.astype(jnp.float32),
+                       jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    feats = rows[:, :n_chan]
     patch = jax.lax.dot_general(
         onehot, feats, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (n_local, C)
