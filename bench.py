@@ -33,6 +33,10 @@ def full_cfg():
     cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED = False
     cfg.SEMANTIC_SEG.HDMAP.ENABLED = False
     cfg.PLANNING.ENABLED = False
+    # 'pillar8x' (default) or 'spconv8x' — the exact sparse engine the
+    # reference checkpoint maps onto (docs/PERF.md records both)
+    cfg.MODEL.LIDAR.BACKBONE = os.environ.get(
+        'STREAMINGFLOW_BENCH_BACKBONE', cfg.MODEL.LIDAR.BACKBONE)
     return cfg
 
 

@@ -95,9 +95,11 @@ def _one_group(rows, out_ref, drop_ref, *, nx: int, ny: int, n_chan: int):
     n_local = PATCH_H * PATCH_W
     iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, n_local), 1)
     # bf16 operands at full MXU rate, fp32 accumulate: one-hot 0/1 and the
-    # already-bf16 features are exact in bf16
+    # already-bf16 features are exact in bf16.  Select in f32 (the i1 mask
+    # lives in 32-bit (8,128) tiles; selecting bf16 directly would need an
+    # unsupported mask relayout to (16,128)), then convert.
     onehot = jnp.where(lid == iota.astype(jnp.float32),
-                       jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+                       1.0, 0.0).astype(jnp.bfloat16)
     feats = rows[:, :n_chan]
     patch = jax.lax.dot_general(
         onehot, feats, (((0,), (0,)), ((), ())),
