@@ -48,7 +48,7 @@ GROUPS_PER_STEP = 8   # groups processed per grid step (amortises step cost)
 
 def _patch_pool_kernel(in_ref, out_ref, drop_ref, *, nx: int, ny: int,
                        n_chan: int):
-    g = pl.program_id(1)
+    g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _init():
@@ -56,7 +56,7 @@ def _patch_pool_kernel(in_ref, out_ref, drop_ref, *, nx: int, ny: int,
         drop_ref[:] = jnp.zeros_like(drop_ref)
 
     for j in range(GROUPS_PER_STEP):
-        _one_group(in_ref[0, 0, j], out_ref, drop_ref, nx=nx, ny=ny,
+        _one_group(in_ref[0, j], out_ref, drop_ref, nx=nx, ny=ny,
                    n_chan=n_chan)
 
 
@@ -111,8 +111,8 @@ def _one_group(rows, out_ref, drop_ref, *, nx: int, ny: int, n_chan: int):
 
     @pl.when(any_valid)
     def _acc():
-        window = out_ref[0, pl.ds(x0i, PATCH_H), pl.ds(y0i, PATCH_W), :]
-        out_ref[0, pl.ds(x0i, PATCH_H), pl.ds(y0i, PATCH_W), :] = \
+        window = out_ref[pl.ds(x0i, PATCH_H), pl.ds(y0i, PATCH_W), :]
+        out_ref[pl.ds(x0i, PATCH_H), pl.ds(y0i, PATCH_W), :] = \
             window + patch
 
     # drop counter lives in cell [0, 0] of an (8, 128) tile (TPU block
@@ -120,7 +120,7 @@ def _one_group(rows, out_ref, drop_ref, *, nx: int, ny: int, n_chan: int):
     cnt = jnp.sum(jnp.where(valid & ~fits, 1.0, 0.0))
     r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    drop_ref[0] += jnp.where((r == 0) & (c == 0), cnt, 0.0)
+    drop_ref[:] += jnp.where((r == 0) & (c == 0), cnt, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=('nx', 'ny', 'interpret'))
@@ -140,23 +140,29 @@ def _patch_pool_pallas(packed: jnp.ndarray, nx: int, ny: int,
         packed = jnp.concatenate([packed, pad], axis=1)
     packed = packed.reshape(f, n_steps, gb, ROWS, LANES)
 
+    # One kernel call per frame via lax.map: keeps the frame axis out of the
+    # grid so the (nx, ny, C) fp32 accumulator block has a constant index
+    # map (single VMEM buffer, ~10 MB).  With frames as a grid axis Mosaic
+    # multi-buffers the revisited accumulator and blows the 16 MB scoped
+    # VMEM limit.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(f, n_steps),
-        in_specs=[pl.BlockSpec((1, 1, gb, ROWS, LANES),
-                               lambda b, i: (b, i, 0, 0, 0))],
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((1, gb, ROWS, LANES),
+                               lambda i: (i, 0, 0, 0))],
         out_specs=[
-            pl.BlockSpec((1, nx, ny, n_chan), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((nx, ny, n_chan), lambda i: (0, 0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
         ],
     )
-    out, drops = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_patch_pool_kernel, nx=nx, ny=ny, n_chan=n_chan),
-        out_shape=[jax.ShapeDtypeStruct((f, nx, ny, n_chan), jnp.float32),
-                   jax.ShapeDtypeStruct((f, 8, 128), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, n_chan), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(packed)
+    )
+    out, drops = jax.lax.map(call, packed)
     return out, drops[:, 0, 0]
 
 

@@ -127,7 +127,8 @@ def main():
             return model.apply(
                 variables, x, False,
                 method=lambda m, x, train: m.temporal_model_lidar(
-                    x, train=train),
+                    m.lidar_reduce(x) if m.lidar_pre_reduce else x,
+                    train=train),
                 rngs={'sample': key})
         lidar_states = timed('lidar: temporal model', lidar_temporal, feat)
 
