@@ -165,5 +165,8 @@ class PillarBEVEncoder(nn.Module):
                     name='conv_out')(h)
         h = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
                          use_running_average=not train)(h)
-        h = nn.relu(h).astype(jnp.float32)
+        # keep the caller's compute dtype: a fp32 cast here would promote the
+        # LiDAR temporal model AND (via the observation merge) the whole
+        # GRU-ODE/refinement stack to fp32 under mixed-precision runs
+        h = nn.relu(h).astype(points.dtype)
         return h.reshape(B, T, *h.shape[1:])
