@@ -88,3 +88,21 @@ def test_full_model_with_pillar_backbone():
     out = model.apply(v, **args, rngs={'sample': key})
     assert out['segmentation'].shape[0] == 1
     assert np.isfinite(np.asarray(out['segmentation'])).all()
+
+
+def test_pillarize_cf_layout_matches_bev():
+    # channel-first layout ('cf', the binning kernel's native output — used
+    # by the encoder to skip the lane-wasting (., F) relayout) must be the
+    # exact transpose of the default BEV layout
+    rng = np.random.RandomState(1)
+    P = 512
+    pts = rng.uniform(-5, 5, size=(P, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-3, 3, size=P)
+    mask = rng.rand(P) > 0.1
+    a = pillarize(jnp.asarray(pts), jnp.asarray(mask), PC_RANGE, VOX,
+                  n_z_bins=4)
+    b = pillarize(jnp.asarray(pts), jnp.asarray(mask), PC_RANGE, VOX,
+                  n_z_bins=4, layout='cf')
+    assert b.shape == (a.shape[2], a.shape[0], a.shape[1])
+    np.testing.assert_array_equal(np.asarray(a),
+                                  np.asarray(jnp.transpose(b, (1, 2, 0))))
