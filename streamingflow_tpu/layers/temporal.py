@@ -20,21 +20,68 @@ def _conv2d(features, k=3, bias=True):
                    use_bias=bias)
 
 
+def _conv_nhwc(x, kernel):
+    dt = jnp.promote_types(x.dtype, kernel.dtype)
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class GRUGates(nn.Module):
     """One conv-GRU cell update: gates + proposal, all 3x3 convs.
 
     Shared pattern of SpatialGRU.gru_cell (reference layers/temporal.py:44-57)
-    and the gru_cell_1/2 of the dual cells."""
+    and the gru_cell_1/2 of the dual cells.  MXU shaping: the update and
+    reset convs are one fused kernel (``gates_kernel``, out = update‖reset —
+    identical math, half the conv launches, 128-lane output); recurrent
+    callers whose input sequence is known upfront (SpatialGRU, BiGRU) call
+    :meth:`precompute_x` once, batched over time, and pass the result as
+    ``x_pre`` so each sequential step only convolves the state half
+    (conv([x,s]) = conv_x(x) + conv_h(s) by linearity over the channel
+    split — exact up to fp reassociation)."""
     hidden_size: int
+    in_size: int
     gru_bias_init: float = 0.0
 
-    @nn.compact
-    def __call__(self, x, state):
-        xs = jnp.concatenate([x, state], axis=-1)
-        update = nn.sigmoid(_conv2d(self.hidden_size)(xs) + self.gru_bias_init)
-        reset = nn.sigmoid(_conv2d(self.hidden_size)(xs) + self.gru_bias_init)
-        proposal = _conv2d(self.hidden_size)(
-            jnp.concatenate([x, (1.0 - reset) * state], axis=-1))
+    def setup(self):
+        h, cx = self.hidden_size, self.in_size
+        init = nn.initializers.lecun_normal()
+        self.gates_kernel = self.param('gates_kernel', init,
+                                       (3, 3, cx + h, 2 * h))
+        self.gates_bias = self.param('gates_bias', nn.initializers.zeros,
+                                     (2 * h,))
+        self.proposal_kernel = self.param('proposal_kernel', init,
+                                          (3, 3, cx + h, h))
+        self.proposal_bias = self.param('proposal_bias',
+                                        nn.initializers.zeros, (h,))
+
+    def precompute_x(self, x):
+        """Input-half gate/proposal contributions, batchable over time.
+
+        x: (N, H, W, in_size) -> (gates_x (N, H, W, 2*hidden),
+        proposal_x (N, H, W, hidden)); biases are added in __call__."""
+        cx = self.in_size
+        return (_conv_nhwc(x, self.gates_kernel[:, :, :cx]),
+                _conv_nhwc(x, self.proposal_kernel[:, :, :cx]))
+
+    def __call__(self, x, state, x_pre=None):
+        h, cx = self.hidden_size, self.in_size
+        if x_pre is None:
+            xs = jnp.concatenate([x, state], axis=-1)
+            ur = _conv_nhwc(xs, self.gates_kernel)
+        else:
+            ur = _conv_nhwc(state, self.gates_kernel[:, :, cx:]) + x_pre[0]
+        ur = ur + self.gates_bias + self.gru_bias_init
+        update = nn.sigmoid(ur[..., :h])
+        reset = nn.sigmoid(ur[..., h:])
+        gated = (1.0 - reset) * state
+        if x_pre is None:
+            ps = jnp.concatenate([x, gated], axis=-1)
+            proposal = _conv_nhwc(ps, self.proposal_kernel)
+        else:
+            proposal = (_conv_nhwc(gated, self.proposal_kernel[:, :, cx:])
+                        + x_pre[1])
+        proposal = proposal + self.proposal_bias
         return (1.0 - update) * state + update * proposal
 
 
@@ -47,16 +94,22 @@ class SpatialGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x, state=None):
-        b, t, h, w, _ = x.shape
-        cell = GRUGates(self.hidden_size)
+        b, t, h, w, cx = x.shape
+        cell = GRUGates(self.hidden_size, in_size=cx)
         decoder = nn.Conv(self.input_size, (1, 1), use_bias=False)
         rnn_state = (jnp.zeros((b, h, w, self.hidden_size), x.dtype)
                      if state is None else state)
-        outs = []
+        # input-half transforms batched over all t outside the recurrence;
+        # the sequential loop only convolves the state half
+        ur_x, p_x = cell.precompute_x(x.reshape(b * t, h, w, cx))
+        ur_x = ur_x.reshape(b, t, h, w, -1)
+        p_x = p_x.reshape(b, t, h, w, -1)
+        states = []
         for i in range(t):
-            rnn_state = cell(x[:, i], rnn_state)
-            outs.append(decoder(rnn_state))
-        return jnp.stack(outs, axis=1)
+            rnn_state = cell(None, rnn_state, x_pre=(ur_x[:, i], p_x[:, i]))
+            states.append(rnn_state)
+        stacked = jnp.stack(states, axis=1).reshape(b * t, h, w, -1)
+        return decoder(stacked).reshape(b, t, h, w, -1)
 
 
 class DualGRUCell(nn.Module):
@@ -73,8 +126,10 @@ class DualGRUCell(nn.Module):
 
     @nn.compact
     def __call__(self, x, state, train: bool = False):
-        cell1 = GRUGates(self.hidden_size, name='gru_cell_1')
-        cell2 = GRUGates(self.hidden_size, name='gru_cell_2')
+        cell1 = GRUGates(self.hidden_size, in_size=x.shape[-1],
+                         name='gru_cell_1')
+        cell2 = GRUGates(self.hidden_size, in_size=self.hidden_size,
+                         name='gru_cell_2')
         conv_decoder_2 = _conv2d(self.hidden_size)
 
         # reference: h = state[:, 0]; rnn_state1 = rnn_state2 = state[:, -1]
@@ -101,20 +156,29 @@ class BiGRU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, s, h, w, c = x.shape
-        cell1 = GRUGates(self.in_channels, name='cell_fwd')
-        cell2 = GRUGates(self.in_channels, name='cell_bwd')
+        cell1 = GRUGates(self.in_channels, in_size=c, name='cell_fwd')
+        cell2 = GRUGates(self.in_channels, in_size=c, name='cell_bwd')
         dec1 = Bottleblock(self.in_channels, name='dec_fwd')
         dec2 = Bottleblock(self.in_channels, name='dec_bwd')
 
+        flat_in = x.reshape(b * s, h, w, c)
+        ur1, p1 = cell1.precompute_x(flat_in)
+        ur2, p2 = cell2.precompute_x(flat_in)
+        ur1, p1 = (v.reshape(b, s, h, w, -1) for v in (ur1, p1))
+        ur2, p2 = (v.reshape(b, s, h, w, -1) for v in (ur2, p2))
         state1, state2 = x[:, 0], x[:, -1]
         outs1, outs2 = [], []
         for t in range(s):
-            state1 = cell1(x[:, t], state1)
-            state2 = cell2(x[:, s - t - 1], state2)
-            outs1.append(dec1(state1, train=train))
-            outs2.append(dec2(state2, train=train))
-        states = jnp.concatenate(
-            [jnp.stack(outs1, 1), jnp.stack(outs2[::-1], 1)], axis=-1)
+            state1 = cell1(None, state1, x_pre=(ur1[:, t], p1[:, t]))
+            r = s - t - 1
+            state2 = cell2(None, state2, x_pre=(ur2[:, r], p2[:, r]))
+            outs1.append(state1)
+            outs2.append(state2)
+        # per-step decoders batched over time after the recurrence
+        st1 = jnp.stack(outs1, 1).reshape(b * s, h, w, -1)
+        st2 = jnp.stack(outs2[::-1], 1).reshape(b * s, h, w, -1)
+        states = jnp.concatenate([dec1(st1, train=train),
+                                  dec2(st2, train=train)], axis=-1)
         flat = states.reshape(b * s, h, w, -1)
         flat = Bottleblock(self.in_channels)(flat, train=train)
         flat = ConvNeXtBlock()(flat, train=train)

@@ -116,7 +116,9 @@ def strip_prefix(sd: Dict[str, np.ndarray], prefix: str = 'model.'
 class Rule(Tuple[str, str, str]):
     """(flax_path_regex, torch_key_template, kind).
 
-    kind in {'conv', 'conv_transpose', 'linear', 'bn', 'gru', 'raw'}.
+    kind in {'conv', 'conv_transpose', 'linear', 'bn', 'gru', 'raw',
+    'conv_cat', 'raw_cat'} — the *_cat kinds take '|'-joined torch keys and
+    concatenate them on the output axis (fused conv kernels / biases).
     The torch template may use backreferences (\\1, ...) from the flax
     regex.  For 'bn' the template is the torch module prefix (without
     `.weight`); for 'gru' it is the torch GRUCell prefix."""
@@ -178,6 +180,16 @@ def apply_mapping(flax_flat: Dict[str, np.ndarray],
                     if t is not None:
                         cand = split_gru_bias(t)[gname]
                         cand_used = f'{tkey}.bias_{side}'
+            elif kind in ('conv_cat', 'raw_cat'):
+                # '|'-joined torch keys concatenated on the output axis
+                # (fused conv kernels / biases, e.g. GRU update‖reset)
+                keys = tkey.split('|')
+                parts = [sd.get(k) for k in keys]
+                if all(p is not None for p in parts):
+                    if kind == 'conv_cat':
+                        parts = [convert_conv(p) for p in parts]
+                    cand = np.concatenate(parts, axis=-1)
+                    cand_used = tuple(keys)
             else:
                 t = sd.get(tkey)
                 if t is not None:
@@ -197,7 +209,9 @@ def apply_mapping(flax_flat: Dict[str, np.ndarray],
                         cand = t
             if cand is None:
                 continue
-            if cand_used in used and kind != 'gru':
+            already = (any(k in used for k in cand_used)
+                       if isinstance(cand_used, tuple) else cand_used in used)
+            if already and kind != 'gru':
                 # already consumed by an earlier flax leaf (structure-variant
                 # fall-through must not alias two leaves onto one tensor);
                 # 'gru' legitimately splits one packed matrix across gates
@@ -210,7 +224,10 @@ def apply_mapping(flax_flat: Dict[str, np.ndarray],
                 wrong_shape = (cand_used, cand.shape)
                 continue
             got = cand
-            used.add(cand_used)
+            if isinstance(cand_used, tuple):
+                used.update(cand_used)
+            else:
+                used.add(cand_used)
             break
         if got is None:
             if wrong_shape is not None and strict_shapes:

@@ -127,12 +127,17 @@ def bottleblock(f, t):
 
 
 def gru_gates(f, t, suffix=''):
-    """flax GRUGates (Conv_0=update, Conv_1=reset, Conv_2=proposal) ->
-    torch conv_update{suffix}/conv_reset{suffix}/conv_state_tilde{suffix}."""
-    for i, name in enumerate(['conv_update', 'conv_reset',
-                              'conv_state_tilde']):
-        conv(f + f'/Conv_{i}/kernel', t + f'.{name}{suffix}.weight')
-        raw(f + f'/Conv_{i}/bias', t + f'.{name}{suffix}.bias')
+    """flax GRUGates (fused gates_kernel = update‖reset on the output-channel
+    axis + proposal_kernel) -> torch conv_update{suffix}/conv_reset{suffix}/
+    conv_state_tilde{suffix} ('|'-joined templates concatenate)."""
+    RULES.append((f + '/gates_kernel',
+                  t + f'.conv_update{suffix}.weight|'
+                  + t + f'.conv_reset{suffix}.weight', 'conv_cat'))
+    RULES.append((f + '/gates_bias',
+                  t + f'.conv_update{suffix}.bias|'
+                  + t + f'.conv_reset{suffix}.bias', 'raw_cat'))
+    conv(f + '/proposal_kernel', t + f'.conv_state_tilde{suffix}.weight')
+    raw(f + '/proposal_bias', t + f'.conv_state_tilde{suffix}.bias')
 
 
 def dual_gru_cell(f, t):
