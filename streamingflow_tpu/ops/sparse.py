@@ -128,34 +128,42 @@ def _candidate_outputs_1d(i, k: int, s: int, p: int, n_out: int):
     """Output positions per input position along one dim.
 
     o satisfies o*s - p + t == i for some tap t in [0, k); at most
-    ceil(k/s) candidates. Returns (cands (..., m), valid (..., m))."""
+    ceil(k/s) candidates. Returns (cands (..., m), valid (..., m),
+    taps (..., m))."""
     m = -(-k // s)
     o0 = (i + p) // s          # largest candidate (tap t = i + p - o*s)
-    cands, valids = [], []
+    cands, valids, taps = [], [], []
     for j in range(m):
         o = o0 - j
         t = i + p - o * s
         valids.append((t >= 0) & (t < k) & (o >= 0) & (o < n_out))
         cands.append(o)
-    return jnp.stack(cands, -1), jnp.stack(valids, -1)
+        taps.append(t)
+    return (jnp.stack(cands, -1), jnp.stack(valids, -1),
+            jnp.stack(taps, -1))
 
 
 def generate_output_sites(st: SparseTensor, kernel: Tuple[int, int, int],
                           stride: Tuple[int, int, int],
                           padding: Tuple[int, int, int],
                           out_shape: Tuple[int, int, int],
-                          cap: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                          cap: int, return_nmap: bool = False):
     """Active output sites of a strided sparse conv, compacted to `cap` slots.
 
-    Returns (ids (cap,), coords (cap, 3), mask (cap,)), ids ascending.
-    Mirrors spconv's getIndicePairs output-site generation
+    Returns (ids (cap,), coords (cap, 3), mask (cap,)), ids ascending —
+    plus, when ``return_nmap``, the (K, cap) NeighborMap of the conv as a
+    byproduct: every sorted candidate row already knows its originating
+    input slot, its tap, and (via the duplicate-run rank) its output slot,
+    so one scatter replaces the K-searchsorted lookup loop the map would
+    otherwise cost.  Mirrors spconv's getIndicePairs output-site generation
     (include/spconv/geometry.h:301)."""
-    cx, vx = _candidate_outputs_1d(st.coords[:, 0], kernel[0], stride[0],
-                                   padding[0], out_shape[0])
-    cy, vy = _candidate_outputs_1d(st.coords[:, 1], kernel[1], stride[1],
-                                   padding[1], out_shape[1])
-    cz, vz = _candidate_outputs_1d(st.coords[:, 2], kernel[2], stride[2],
-                                   padding[2], out_shape[2])
+    K = kernel[0] * kernel[1] * kernel[2]
+    cx, vx, tx = _candidate_outputs_1d(st.coords[:, 0], kernel[0], stride[0],
+                                       padding[0], out_shape[0])
+    cy, vy, ty = _candidate_outputs_1d(st.coords[:, 1], kernel[1], stride[1],
+                                       padding[1], out_shape[1])
+    cz, vz, tz = _candidate_outputs_1d(st.coords[:, 2], kernel[2], stride[2],
+                                       padding[2], out_shape[2])
     # product of per-dim candidates
     ox = cx[:, :, None, None]
     oy = cy[:, None, :, None]
@@ -167,10 +175,19 @@ def generate_output_sites(st: SparseTensor, kernel: Tuple[int, int, int],
     flat_val = val.reshape(-1)
     cand_ids = jnp.where(flat_val, linearize(flat_coords, out_shape), LARGE_ID)
 
-    ids_s = jnp.sort(cand_ids)
+    # payload: originating input slot + flat tap index (x-major, matching
+    # _kernel_offsets), packed in an int32 (tap < 32)
+    tap_flat = (tx[:, :, None, None] * (kernel[1] * kernel[2])
+                + ty[:, None, :, None] * kernel[2]
+                + tz[:, None, None, :])
+    v_idx = jnp.arange(st.ids.shape[0], dtype=jnp.int32)[:, None, None, None]
+    payload = jnp.broadcast_to(v_idx * 32 + tap_flat,
+                               val.shape).reshape(-1).astype(jnp.int32)
+
+    ids_s, pay_s = jax.lax.sort_key_val(cand_ids, payload)
     first = (jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
              & (ids_s < LARGE_ID))
-    rank = jnp.cumsum(first) - 1
+    rank = jnp.cumsum(first) - 1      # every duplicate row shares its run's
     slot = jnp.where(first & (rank < cap), rank, cap)
     out_ids = jax.ops.segment_min(jnp.where(slot < cap, ids_s, LARGE_ID),
                                   jnp.clip(slot, 0, cap - 1),
@@ -181,7 +198,22 @@ def generate_output_sites(st: SparseTensor, kernel: Tuple[int, int, int],
     out_coords = jnp.where(out_mask[:, None],
                            delinearize(jnp.where(out_mask, out_ids, 0),
                                        out_shape), 0)
-    return out_ids.astype(jnp.int32), out_coords.astype(jnp.int32), out_mask
+    sites = (out_ids.astype(jnp.int32), out_coords.astype(jnp.int32),
+             out_mask)
+    if not return_nmap:
+        return sites
+
+    # one (tap, out-slot) pair per candidate row — collision-free since the
+    # input position is determined by (output, tap); rows past the cap or
+    # invalid land in the trash slot K*cap
+    row_ok = (ids_s < LARGE_ID) & (rank < cap)
+    flatpos = jnp.where(row_ok, (pay_s & 31) * cap + rank, K * cap)
+    idx_flat = jnp.zeros((K * cap + 1,), jnp.int32).at[flatpos].set(
+        pay_s >> 5)
+    found_flat = jnp.zeros((K * cap + 1,), bool).at[flatpos].set(row_ok)
+    nmap = NeighborMap(idx_flat[:K * cap].reshape(K, cap),
+                       found_flat[:K * cap].reshape(K, cap))
+    return sites, nmap
 
 
 def sparse_conv3d(st: SparseTensor, weights: jnp.ndarray,
@@ -191,23 +223,15 @@ def sparse_conv3d(st: SparseTensor, weights: jnp.ndarray,
     """Strided ("native") sparse conv producing a new active set.
 
     weights: (prod(kernel), Cin, Cout)."""
+    assert kernel[0] * kernel[1] * kernel[2] <= 32, \
+        'tap index packs into 5 bits'
     out_shape = tuple(
         (st.shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
         for d in range(3))
-    out_ids, out_coords, out_mask = generate_output_sites(
-        st, kernel, stride, padding, out_shape, cap)
-
-    offsets = _kernel_offsets(kernel)
-    stride_a = jnp.asarray(stride, jnp.int32)
-    pad_a = jnp.asarray(padding, jnp.int32)
-    idxs, founds = [], []
-    for ki in range(offsets.shape[0]):
-        tap = jnp.asarray(offsets[ki], jnp.int32)
-        in_coords = out_coords * stride_a - pad_a + tap
-        idx, found = _lookup(st, in_coords, out_mask)
-        idxs.append(idx)
-        founds.append(found)
-    nmap = NeighborMap(jnp.stack(idxs), jnp.stack(founds))
+    # the neighbour map falls out of the site-generation sort — no
+    # per-tap searchsorted loop (each probe lowers to serial row gathers)
+    (out_ids, out_coords, out_mask), nmap = generate_output_sites(
+        st, kernel, stride, padding, out_shape, cap, return_nmap=True)
     acc = gather_gemm(st.feats, nmap, weights, out_mask, bias)
     return SparseTensor(acc, out_coords, out_ids, out_mask, out_shape)
 

@@ -112,9 +112,11 @@ def test_gradients_match_single_device(multichip_run):
     cancellation-dominated BN bias sums; unchanged by forcing f32
     matmul precision).  A missing or wrong gradient collective is a
     different regime entirely: O(1) relative error (~8x on a sum-vs-mean
-    bug), so the 10% per-leaf / 2% global bounds separate rounding from
-    real sharding bugs (measured: 1.4% global on a correct step; ~700%
-    on a seeded sum-vs-mean collective bug)."""
+    bug), so the 10% per-leaf / 3% global bounds separate rounding from
+    real sharding bugs (measured: 1.4% global on a correct step with the
+    pre-fused GRU cells, 2.05% after the fused-gates/x_pre conv
+    decomposition changed blocking; ~700% on a seeded sum-vs-mean
+    collective bug)."""
     _, _, _, _, g1, g8 = multichip_run
     leaves1 = jax.tree_util.tree_leaves_with_path(g1)
     leaves8 = jax.tree.leaves(g8)
@@ -130,18 +132,21 @@ def test_gradients_match_single_device(multichip_run):
         # bias that cancels) are pure rounding noise in both runs
         assert d <= 0.10 * n + 1e-5, \
             f'grads{jax.tree_util.keystr(kp)}: rel L2 {d / (n + 1e-12):.4f}'
-    assert tot_d ** 0.5 <= 0.02 * tot_n ** 0.5
+    assert tot_d ** 0.5 <= 0.03 * tot_n ** 0.5
 
 
 def test_params_match_single_device(multichip_run):
     """Post-Adam params agree within the per-step update bound: Adam's
     g/(sqrt(v)+eps) amplifies reassociation noise on near-zero gradients,
-    but any single step moves a parameter by at most ~lr, so 2*lr bounds
-    the legitimate divergence."""
+    but any single step moves a parameter by at most ~lr (exactly lr on
+    step 1, where m-hat/sqrt(v-hat) = sign(g)), so a sign flip on a
+    cancelling gradient legitimately lands exactly at 2*lr — bound at
+    2.1*lr to clear fp32 rounding on top."""
     s1, _, s8, _, _, _ = multichip_run
     from __graft_entry__ import _flagship_cfg
     lr = _flagship_cfg(micro=True).OPTIMIZER.LR
-    _tree_allclose(s8.params, s1.params, rtol=0, atol=2 * lr, path='params')
+    _tree_allclose(s8.params, s1.params, rtol=0, atol=2.1 * lr,
+                   path='params')
 
 
 def test_batch_stats_are_global(multichip_run):
