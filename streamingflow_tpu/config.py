@@ -184,6 +184,13 @@ class SparseEncoderConfig:
     MAX_VOXELS: int = 120000
     # static active-site capacity per stage (post-stride), TPU padding caps
     STAGE_CAPS: List[int] = field(default_factory=lambda: [120000, 60000, 30000, 15000])
+    # submanifold-conv execution backend: 'tiled' batches the 27-tap
+    # neighbourhood into dense convs over occupied 8x8x8 tiles (MXU path,
+    # ops/sparse_tiled.py); 'gather' is the row-gather GEMM engine
+    # (ops/sparse.py).  Numerics agree to summation order.
+    ENGINE: str = 'tiled'
+    # static occupied-tile capacity per stage for the tiled engine
+    TILE_CAPS: List[int] = field(default_factory=lambda: [24576, 12288, 6144, 3072])
 
 
 @_cfg

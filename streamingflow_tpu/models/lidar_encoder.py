@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..config import SparseEncoderConfig
 from ..ops import sparse as S
+from ..ops import sparse_tiled as tileops
 from ..ops.voxelize import voxelize
 
 
@@ -73,9 +74,25 @@ def _batched_nmap(coords, ids, mask, shape):
     return jax.vmap(one)(coords, ids, mask)
 
 
-def _batched_subm(feats, mask, nmap, weights):
+def _batched_tmap(coords, ids, mask, shape, cap_tiles):
+    """One occupied-tile map per cloud (tiled engine's stage cache)."""
+    return jax.vmap(lambda c, i, m: tileops.build_tile_map(
+        c, i, m, shape, cap_tiles))(coords, ids, mask)
+
+
+def _batched_subm(feats, mask, geo, weights):
+    """Submanifold conv batched over clouds; `geo` selects the engine.
+
+    TileMap: `feats` is the dense tile tensor (B, T_cap, tx, ty, tz, C)
+    — halo exchange + one dense conv on the MXU; padded cells pick up
+    neighbourhood sums but the masked BN that always follows zeroes
+    them, so tile residency across a whole stage is exact.
+    NeighborMap: compact (B, V, C) row-gather GEMM."""
+    if isinstance(geo, tileops.TileMap):
+        return jax.vmap(lambda tl, g: tileops.subm_conv_tiles(tl, g, weights))(
+            feats, geo)
     return jax.vmap(lambda f, m, nm: S.gather_gemm(f, nm, weights, m))(
-        feats, mask, nmap)
+        feats, mask, geo)
 
 
 def _batched_sparse_conv(feats, coords, ids, mask, shape, weights, kernel,
@@ -125,7 +142,12 @@ class SparseBasicBlock(nn.Module):
 
 
 class SparseConvBNReLU(nn.Module):
-    """Strided sparse conv + BN + ReLU producing a new active set."""
+    """Strided sparse conv + BN + ReLU producing a new active set.
+
+    When `geo` (a batched TileMap) is given, `feats` is the stage's
+    resident tile tensor and the conv runs densely on the tiles
+    (ops/sparse_tiled.py::sparse_conv_tiles); the compact output rows
+    come back through one gather.  Parameters are identical either way."""
     out_channels: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int]
@@ -133,14 +155,35 @@ class SparseConvBNReLU(nn.Module):
     cap: int
 
     @nn.compact
-    def __call__(self, feats, coords, ids, mask, shape, train: bool = False):
+    def __call__(self, feats, coords, ids, mask, shape, train: bool = False,
+                 geo=None):
         kprod = self.kernel[0] * self.kernel[1] * self.kernel[2]
+        cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.variance_scaling(
-            1.0, 'fan_in', 'uniform'),
-            (kprod, feats.shape[-1], self.out_channels))
-        feats, coords, ids, mask, shape = _batched_sparse_conv(
-            feats, coords, ids, mask, shape, w, self.kernel, self.stride,
-            self.padding, self.cap)
+            1.0, 'fan_in', 'uniform'), (kprod, cin, self.out_channels))
+        if geo is not None:
+            out_shape = tuple(
+                (shape[d] + 2 * self.padding[d] - self.kernel[d])
+                // self.stride[d] + 1 for d in range(3))
+
+            def one(tl, g, c, i, m):
+                st = S.SparseTensor(jnp.zeros((i.shape[0], 1)), c, i, m,
+                                    shape)
+                (oi, oc, om), src = S.generate_output_sites(
+                    st, self.kernel, self.stride, self.padding, out_shape,
+                    self.cap, return_src=True)
+                of = tileops.sparse_conv_tiles(
+                    tl, g, c, w, self.kernel, self.stride, self.padding,
+                    oc, om, src)
+                return of, oc, oi, om
+
+            feats, coords, ids, mask = jax.vmap(one)(feats, geo, coords,
+                                                     ids, mask)
+            shape = out_shape
+        else:
+            feats, coords, ids, mask, shape = _batched_sparse_conv(
+                feats, coords, ids, mask, shape, w, self.kernel, self.stride,
+                self.padding, self.cap)
         feats = MaskedBatchNorm()(feats, mask, train=train)
         return nn.relu(feats), coords, ids, mask, shape
 
@@ -171,13 +214,38 @@ class LidarBEVEncoder(nn.Module):
         from ..ops.voxelize import LARGE_ID, linearize
         ids = jnp.where(mask, linearize(coords, shape), LARGE_ID)
 
-        # conv_input (sparse_encoder.py:74-82): the 27-tap neighbour map is
-        # built once per stage and reused by every subm conv on that
-        # active set.
-        nmap = _batched_nmap(coords, ids, mask, shape)
-        feats = SubMConvBNReLU(cfg.BASE_CHANNELS, name='conv_input')(
-            feats, mask, nmap, train=train)
+        # conv_input (sparse_encoder.py:74-82): the stage geometry cache
+        # (27-tap neighbour map, or occupied-tile map for the tiled
+        # engine) is built once per stage and reused by every subm conv
+        # on that active set.  Under the tiled engine, features stay
+        # RESIDENT in the dense tile tensor across the whole stage —
+        # one scatter in, one gather out per stage; BN runs masked on
+        # the tiles (same stats: padded cells are zero and excluded).
+        tiled = cfg.ENGINE == 'tiled'
 
+        def make_geo(coords, ids, mask, shape, stage):
+            if tiled:
+                n_tiles = 1
+                for d in range(3):
+                    n_tiles *= -(-shape[d] // 8)
+                cap = min(cfg.TILE_CAPS[stage], n_tiles)
+                return _batched_tmap(coords, ids, mask, shape, cap)
+            return _batched_nmap(coords, ids, mask, shape)
+
+        def enter_stage(feats, mask, geo):
+            if tiled:
+                return (jax.vmap(tileops.to_tiles)(feats, geo, mask),
+                        geo.occupancy)
+            return feats, mask
+
+        geo = make_geo(coords, ids, mask, shape, 0)
+        sfeats, smask = enter_stage(feats, mask, geo)
+        sfeats = SubMConvBNReLU(cfg.BASE_CHANNELS, name='conv_input')(
+            sfeats, smask, geo, train=train)
+
+        # downsamples consume the resident tiles directly (geo!=None) and
+        # emit compact rows, so tiled stages flow tile->tile with no
+        # compact round-trip anywhere inside the ladder
         stage_paddings = [(1, 1, 1), (1, 1, 1), (1, 1, 0)]
         for i, blocks in enumerate(cfg.ENCODER_CHANNELS):
             for j, ch in enumerate(blocks):
@@ -186,19 +254,22 @@ class LidarBEVEncoder(nn.Module):
                     feats, coords, ids, mask, shape = SparseConvBNReLU(
                         ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
                         cap=cfg.STAGE_CAPS[i + 1],
-                        name=f'down{i + 1}')(feats, coords, ids, mask, shape,
-                                             train=train)
-                    nmap = _batched_nmap(coords, ids, mask, shape)
+                        name=f'down{i + 1}')(sfeats, coords, ids, mask,
+                                             shape, train=train,
+                                             geo=geo if tiled else None)
+                    geo = make_geo(coords, ids, mask, shape, i + 1)
+                    sfeats, smask = enter_stage(feats, mask, geo)
                 else:
-                    feats = SparseBasicBlock(
+                    sfeats = SparseBasicBlock(
                         ch, name=f'stage{i + 1}_block{j}')(
-                        feats, mask, nmap, train=train)
+                        sfeats, smask, geo, train=train)
 
         # conv_out: kernel (1,1,3) stride (1,1,2) pad 0 (sparse_encoder.py:88-97)
         feats, coords, ids, mask, shape = SparseConvBNReLU(
             cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
             cap=cfg.STAGE_CAPS[-1], name='conv_out')(
-            feats, coords, ids, mask, shape, train=train)
+            sfeats, coords, ids, mask, shape, train=train,
+            geo=geo if tiled else None)
 
         # densify: (nx, ny, nz, C) -> (nx, ny, nz*C) with channel = c*nz + z
         # (reference reshape semantics, sparse_encoder.py:126-133)

@@ -147,7 +147,8 @@ def generate_output_sites(st: SparseTensor, kernel: Tuple[int, int, int],
                           stride: Tuple[int, int, int],
                           padding: Tuple[int, int, int],
                           out_shape: Tuple[int, int, int],
-                          cap: int, return_nmap: bool = False):
+                          cap: int, return_nmap: bool = False,
+                          return_src: bool = False):
     """Active output sites of a strided sparse conv, compacted to `cap` slots.
 
     Returns (ids (cap,), coords (cap, 3), mask (cap,)), ids ascending —
@@ -155,7 +156,10 @@ def generate_output_sites(st: SparseTensor, kernel: Tuple[int, int, int],
     byproduct: every sorted candidate row already knows its originating
     input slot, its tap, and (via the duplicate-run rank) its output slot,
     so one scatter replaces the K-searchsorted lookup loop the map would
-    otherwise cost.  Mirrors spconv's getIndicePairs output-site generation
+    otherwise cost.  ``return_src`` instead returns just one contributing
+    input slot per output site (the run head's payload) — enough for the
+    tiled engine to locate the tile that computed each output site.
+    Mirrors spconv's getIndicePairs output-site generation
     (include/spconv/geometry.h:301)."""
     K = kernel[0] * kernel[1] * kernel[2]
     cx, vx, tx = _candidate_outputs_1d(st.coords[:, 0], kernel[0], stride[0],
@@ -200,6 +204,10 @@ def generate_output_sites(st: SparseTensor, kernel: Tuple[int, int, int],
                                        out_shape), 0)
     sites = (out_ids.astype(jnp.int32), out_coords.astype(jnp.int32),
              out_mask)
+    if return_src:
+        src = jnp.zeros((cap + 1,), jnp.int32).at[
+            jnp.where(slot < cap, slot, cap)].set(pay_s >> 5)
+        return sites, src[:cap]
     if not return_nmap:
         return sites
 

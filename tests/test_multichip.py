@@ -112,11 +112,12 @@ def test_gradients_match_single_device(multichip_run):
     cancellation-dominated BN bias sums; unchanged by forcing f32
     matmul precision).  A missing or wrong gradient collective is a
     different regime entirely: O(1) relative error (~8x on a sum-vs-mean
-    bug), so the 10% per-leaf / 3% global bounds separate rounding from
+    bug), so the 12% per-leaf / 3% global bounds separate rounding from
     real sharding bugs (measured: 1.4% global on a correct step with the
     pre-fused GRU cells, 2.05% after the fused-gates/x_pre conv
-    decomposition changed blocking; ~700% on a seeded sum-vs-mean
-    collective bug)."""
+    decomposition changed blocking; per-leaf up to 10.3% on a
+    cancellation-dominated BN scale once the synthetic clouds went
+    LiDAR-like; ~700% on a seeded sum-vs-mean collective bug)."""
     _, _, _, _, g1, g8 = multichip_run
     leaves1 = jax.tree_util.tree_leaves_with_path(g1)
     leaves8 = jax.tree.leaves(g8)
@@ -130,7 +131,7 @@ def test_gradients_match_single_device(multichip_run):
         tot_n += n * n
         # absolute floor: leaves whose whole gradient is ~1e-6 (e.g. a BN
         # bias that cancels) are pure rounding noise in both runs
-        assert d <= 0.10 * n + 1e-5, \
+        assert d <= 0.12 * n + 1e-5, \
             f'grads{jax.tree_util.keystr(kp)}: rel L2 {d / (n + 1e-12):.4f}'
     assert tot_d ** 0.5 <= 0.03 * tot_n ** 0.5
 
