@@ -191,6 +191,10 @@ class SparseEncoderConfig:
     ENGINE: str = 'tiled'
     # static occupied-tile capacity per stage for the tiled engine
     TILE_CAPS: List[int] = field(default_factory=lambda: [24576, 12288, 6144, 3072])
+    # tile edge lengths (x, y, z) for the tiled engine; each dim must be
+    # divisible by the conv strides (2).  Smaller tiles waste fewer FLOPs
+    # on empty cells but need more tile slots; tune per hardware.
+    TILE_SHAPE: Tuple[int, int, int] = (8, 8, 8)
 
 
 @_cfg

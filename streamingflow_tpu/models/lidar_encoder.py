@@ -74,10 +74,10 @@ def _batched_nmap(coords, ids, mask, shape):
     return jax.vmap(one)(coords, ids, mask)
 
 
-def _batched_tmap(coords, ids, mask, shape, cap_tiles):
+def _batched_tmap(coords, ids, mask, shape, cap_tiles, tile):
     """One occupied-tile map per cloud (tiled engine's stage cache)."""
     return jax.vmap(lambda c, i, m: tileops.build_tile_map(
-        c, i, m, shape, cap_tiles))(coords, ids, mask)
+        c, i, m, shape, cap_tiles, tile=tile))(coords, ids, mask)
 
 
 def _batched_subm(feats, mask, geo, weights):
@@ -223,13 +223,15 @@ class LidarBEVEncoder(nn.Module):
         # the tiles (same stats: padded cells are zero and excluded).
         tiled = cfg.ENGINE == 'tiled'
 
+        tile = tuple(cfg.TILE_SHAPE)
+
         def make_geo(coords, ids, mask, shape, stage):
             if tiled:
                 n_tiles = 1
                 for d in range(3):
-                    n_tiles *= -(-shape[d] // 8)
+                    n_tiles *= -(-shape[d] // tile[d])
                 cap = min(cfg.TILE_CAPS[stage], n_tiles)
-                return _batched_tmap(coords, ids, mask, shape, cap)
+                return _batched_tmap(coords, ids, mask, shape, cap, tile)
             return _batched_nmap(coords, ids, mask, shape)
 
         def enter_stage(feats, mask, geo):

@@ -46,9 +46,14 @@ class TileMap(NamedTuple):
 
     tile_ids:  (T_cap,) int32 linearised tile ids, ascending; LARGE_ID pad
     tile_mask: (T_cap,) bool
-    nbr:       (6, T_cap) int32 tile slots of the -x,+x,-y,+y,-z,+z
-               face neighbours (self-slot when absent)
-    nbr_found: (6, T_cap) bool
+    nbr:       (26, T_cap) int32 tile slots of every (dx, dy, dz) != 0
+               neighbour in {-1,0,1}^3, x-major order with the zero
+               offset skipped (self-slot when absent).  All 26 are
+               stored because halos must be assembled by DIRECT gathers:
+               a staged/transitive face exchange silently drops a
+               corner contribution whenever the intermediate face
+               neighbour tile is unoccupied.
+    nbr_found: (26, T_cap) bool
     site_flat: (V,) int32 flat cell index (tile_slot * cells + local) per
                site; invalid sites point at the trash cell T_cap * cells
     occupancy: (T_cap, tx, ty, tz) bool — active cells (for masked BN /
@@ -71,6 +76,14 @@ class TileMap(NamedTuple):
 def _tile_grid(shape: Tuple[int, int, int],
                tile: Tuple[int, int, int]) -> Tuple[int, int, int]:
     return tuple(-(-shape[d] // tile[d]) for d in range(3))
+
+
+# every (dx, dy, dz) in {-1,0,1}^3 except the origin, x-major
+_NBR_OFFSETS = tuple(
+    (dx, dy, dz)
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if (dx, dy, dz) != (0, 0, 0))
+_NBR_INDEX = {off: i for i, off in enumerate(_NBR_OFFSETS)}
 
 
 def build_tile_map(coords: jnp.ndarray, ids: jnp.ndarray, mask: jnp.ndarray,
@@ -108,19 +121,20 @@ def build_tile_map(coords: jnp.ndarray, ids: jnp.ndarray, mask: jnp.ndarray,
     site_flat = jnp.where(mask & (slot_per_site < cap_tiles),
                           slot_per_site * cells + local, cap_tiles * cells)
 
-    # face neighbours (slot + found) — 6 tiny binary searches over tiles
+    # all 26 neighbours (slot + found) — 26 tiny binary searches over tiles
     tcs = jnp.where(tile_mask[:, None],
                     delinearize(jnp.where(tile_mask, tile_ids, 0), grid), 0)
     nbrs, founds = [], []
-    for d in range(3):
-        for step in (-1, 1):
-            nc = tcs.at[:, d].add(step)
-            inb = (nc[:, d] >= 0) & (nc[:, d] < grid[d]) & tile_mask
-            nid = jnp.where(inb, linearize(nc, grid), LARGE_ID - 1)
-            pos = jnp.clip(jnp.searchsorted(tile_ids, nid), 0, cap_tiles - 1)
-            found = inb & (tile_ids[pos] == nid) & tile_mask[pos]
-            nbrs.append(jnp.where(found, pos, jnp.arange(cap_tiles)))
-            founds.append(found)
+    for off in _NBR_OFFSETS:
+        nc = tcs + jnp.asarray(off, jnp.int32)
+        inb = ((nc[:, 0] >= 0) & (nc[:, 0] < grid[0])
+               & (nc[:, 1] >= 0) & (nc[:, 1] < grid[1])
+               & (nc[:, 2] >= 0) & (nc[:, 2] < grid[2]) & tile_mask)
+        nid = jnp.where(inb, linearize(nc, grid), LARGE_ID - 1)
+        pos = jnp.clip(jnp.searchsorted(tile_ids, nid), 0, cap_tiles - 1)
+        found = inb & (tile_ids[pos] == nid) & tile_mask[pos]
+        nbrs.append(jnp.where(found, pos, jnp.arange(cap_tiles)))
+        founds.append(found)
 
     occ = jnp.zeros((cap_tiles * cells + 1,), bool).at[site_flat].set(mask)
     occupancy = occ[:cap_tiles * cells].reshape((cap_tiles,) + tuple(tile))
@@ -155,32 +169,53 @@ def halo_exchange(tiles: jnp.ndarray, tmap: TileMap,
     """Add a halo of `lo`/`hi` cells per axis:
     (T, tx, ty, tz, C) -> (T, tx+lo+hi, ...).
 
-    Staged per axis; later axes read the already-extended tensor, so
-    edge/corner neighbour contributions arrive through the face
-    neighbours of the face neighbours (classic halo exchange).  Widths
-    must not exceed the tile edge (one neighbour deep)."""
-    out = tiles
+    Every one of the up-to-26 boundary regions is gathered DIRECTLY
+    from its neighbour tile's opposite slab (pre-sliced, so each gather
+    moves only the cells it needs).  Direct assembly is required for
+    correctness: a staged per-axis exchange forwards corner/edge data
+    through face neighbours, which silently loses contributions whenever
+    the intermediate face-neighbour tile is unoccupied — a common state
+    of real sparse data.  Widths must not exceed the tile edge (one
+    neighbour deep)."""
     for d in range(3):
-        axis = 1 + d
-        if lo[d] == 0 and hi[d] == 0:
-            continue
-        assert max(lo[d], hi[d]) <= tiles.shape[axis], \
+        assert max(lo[d], hi[d]) <= tiles.shape[1 + d], \
             'halo wider than one neighbour tile'
-        parts = []
-        if lo[d]:
-            lo_nbr, lo_found = tmap.nbr[2 * d], tmap.nbr_found[2 * d]
-            far = jax.lax.slice_in_dim(out, out.shape[axis] - lo[d],
-                                       out.shape[axis], axis=axis)
-            parts.append(far[lo_nbr] * lo_found.reshape(
-                (-1,) + (1,) * (out.ndim - 1)).astype(tiles.dtype))
-        parts.append(out)
-        if hi[d]:
-            hi_nbr, hi_found = tmap.nbr[2 * d + 1], tmap.nbr_found[2 * d + 1]
-            near = jax.lax.slice_in_dim(out, 0, hi[d], axis=axis)
-            parts.append(near[hi_nbr] * hi_found.reshape(
-                (-1,) + (1,) * (out.ndim - 1)).astype(tiles.dtype))
-        out = jnp.concatenate(parts, axis=axis) if len(parts) > 1 else out
-    return out
+
+    def piece(off):
+        """Boundary region `off` (dx,dy,dz in {-1,0,1}), None if empty."""
+        sl = [slice(None)]
+        for d, o in enumerate(off):
+            n = tiles.shape[1 + d]
+            if o < 0:
+                if lo[d] == 0:
+                    return None
+                sl.append(slice(n - lo[d], n))
+            elif o > 0:
+                if hi[d] == 0:
+                    return None
+                sl.append(slice(0, hi[d]))
+            else:
+                sl.append(slice(None))
+        if off == (0, 0, 0):
+            return tiles
+        slab = tiles[tuple(sl)]
+        k = _NBR_INDEX[off]
+        found = tmap.nbr_found[k].reshape(
+            (-1,) + (1,) * (tiles.ndim - 1)).astype(tiles.dtype)
+        return slab[tmap.nbr[k]] * found
+
+    xs = []
+    for dx in (-1, 0, 1):
+        ys = []
+        for dy in (-1, 0, 1):
+            zs = [p for dz in (-1, 0, 1)
+                  if (p := piece((dx, dy, dz))) is not None]
+            if zs:
+                ys.append(jnp.concatenate(zs, axis=3)
+                          if len(zs) > 1 else zs[0])
+        if ys:
+            xs.append(jnp.concatenate(ys, axis=2) if len(ys) > 1 else ys[0])
+    return jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
 
 
 def subm_conv_tiles(tiles: jnp.ndarray, tmap: TileMap,

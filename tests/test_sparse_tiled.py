@@ -43,7 +43,8 @@ def _make_set(rng, shape, V, cap, cluster=False):
 
 
 @pytest.mark.parametrize('cluster', [False, True])
-def test_subm_conv_matches_gather_engine(cluster):
+@pytest.mark.parametrize('tile', [(8, 8, 8), (8, 8, 4), (4, 4, 4)])
+def test_subm_conv_matches_gather_engine(cluster, tile):
     rng = np.random.default_rng(7)
     shape = (32, 24, 16)
     st = _make_set(rng, shape, 500, 768, cluster=cluster)
@@ -52,7 +53,7 @@ def test_subm_conv_matches_gather_engine(cluster):
 
     ref = S.subm_conv3d(st, w, bias=b).feats
     tmap = ST.build_tile_map(st.coords, st.ids, st.mask, shape,
-                             cap_tiles=256, tile=(8, 8, 8))
+                             cap_tiles=1024, tile=tile)
     got = ST.subm_conv3d_tiled(st.feats, st.mask, tmap, w, bias=b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -75,6 +76,39 @@ def test_subm_conv_tiled_under_jit_and_odd_grid():
 
     np.testing.assert_allclose(np.asarray(run()), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_corner_neighbour_without_intermediate_tiles():
+    """Two diagonal sites in corner-adjacent tiles, with every face
+    neighbour tile unoccupied: the halo must carry the corner
+    contribution directly (a staged/transitive face exchange loses it)."""
+    shape = (16, 16, 16)
+    coords = np.array([[7, 7, 7],     # tile (0,0,0), hi corner
+                       [8, 8, 8]],    # tile (1,1,1), lo corner
+                      np.int32)
+    ids = (coords[:, 0] * 16 + coords[:, 1]) * 16 + coords[:, 2]
+    cap = 8
+    pad = cap - 2
+    st = S.SparseTensor(
+        jnp.asarray(np.concatenate([np.eye(2, 4, dtype=np.float32),
+                                    np.zeros((pad, 4), np.float32)])),
+        jnp.asarray(np.concatenate([coords, np.zeros((pad, 3), np.int32)])),
+        jnp.asarray(np.concatenate([ids.astype(np.int32),
+                                    np.full(pad, LARGE_ID, np.int32)])),
+        jnp.asarray(np.concatenate([np.ones(2, bool), np.zeros(pad, bool)])),
+        shape)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(27, 4, 4)).astype(np.float32))
+    ref = S.subm_conv3d(st, w).feats
+    # the corner tap must contribute: outputs differ from the self-tap-only
+    w_np = np.asarray(w)
+    self_only_0 = np.asarray(st.feats)[0] @ w_np[13]
+    assert np.abs(np.asarray(ref)[0] - self_only_0).max() > 1e-3
+    tmap = ST.build_tile_map(st.coords, st.ids, st.mask, shape,
+                             cap_tiles=8, tile=(8, 8, 8))
+    got = ST.subm_conv3d_tiled(st.feats, st.mask, tmap, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_tile_map_roundtrip_and_occupancy():
@@ -123,7 +157,8 @@ def test_tile_cap_overflow_drops_highest_tiles():
     ((3, 3, 3), (2, 2, 2), (1, 1, 0)),   # down3 (z pad 0)
     ((1, 1, 3), (1, 1, 2), (0, 0, 0)),   # conv_out
 ])
-def test_strided_conv_matches_gather_engine(kernel, stride, padding):
+@pytest.mark.parametrize('tile', [(8, 8, 8), (8, 8, 4)])
+def test_strided_conv_matches_gather_engine(kernel, stride, padding, tile):
     """sparse_conv_tiles == sparse_conv3d: same active sites by
     construction (shared site generation); values must agree even for
     output sites whose owning tile has no active input (contributors
@@ -142,7 +177,8 @@ def test_strided_conv_matches_gather_engine(kernel, stride, padding):
                       for d in range(3))
     (oi, oc, om), src = S.generate_output_sites(
         st, kernel, stride, padding, out_shape, cap, return_src=True)
-    tmap = ST.build_tile_map(st.coords, st.ids, st.mask, shape, cap_tiles=256)
+    tmap = ST.build_tile_map(st.coords, st.ids, st.mask, shape,
+                             cap_tiles=512, tile=tile)
     tiles = ST.to_tiles(st.feats, tmap, st.mask)
     got = ST.sparse_conv_tiles(tiles, tmap, st.coords, w, kernel, stride,
                                padding, oc, om, src, bias=b)
