@@ -142,6 +142,14 @@ def build_tile_map(coords: jnp.ndarray, ids: jnp.ndarray, mask: jnp.ndarray,
                    site_flat.astype(jnp.int32), occupancy)
 
 
+def dropped_sites(tmap: TileMap, mask: jnp.ndarray) -> jnp.ndarray:
+    """Number of active sites that fell past the tile capacity (scalar).
+
+    Zero on a correctly sized TILE_CAPS; use in capacity tests / debug
+    runs (the engine itself drops overflow silently, like MAX_VOXELS)."""
+    return jnp.sum(mask) - jnp.sum(tmap.occupancy)
+
+
 def to_tiles(feats: jnp.ndarray, tmap: TileMap,
              mask: jnp.ndarray) -> jnp.ndarray:
     """(V, C) compact -> (T_cap, tx, ty, tz, C) dense tiles (one scatter)."""
@@ -218,19 +226,27 @@ def halo_exchange(tiles: jnp.ndarray, tmap: TileMap,
     return jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
 
 
+@jax.checkpoint
+def _halo_conv(tiles, nbr, nbr_found, weights):
+    """Halo + dense conv, rematerialised: the haloed tensor is ~2x the
+    core and is cheap to rebuild, so don't keep it for the backward."""
+    k, cin, cout = weights.shape
+    tm = TileMap(None, None, nbr, nbr_found, None, None)
+    haloed = halo_exchange(tiles, tm)
+    w = weights.reshape(3, 3, 3, cin, cout).astype(tiles.dtype)
+    return jax.lax.conv_general_dilated(
+        haloed, w, window_strides=(1, 1, 1), padding='VALID',
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=tiles.dtype)
+
+
 def subm_conv_tiles(tiles: jnp.ndarray, tmap: TileMap,
                     weights: jnp.ndarray, bias=None) -> jnp.ndarray:
     """Dense-tile submanifold conv: tiles (T, tx, ty, tz, Cin) -> same
     spatial shape with Cout channels.  weights (27, Cin, Cout), x-major
     taps (matching ops/sparse.py::_kernel_offsets)."""
-    k, cin, cout = weights.shape
-    assert k == 27, 'tiled subm path is specialised to 3x3x3'
-    haloed = halo_exchange(tiles, tmap)
-    w = weights.reshape(3, 3, 3, cin, cout).astype(tiles.dtype)
-    out = jax.lax.conv_general_dilated(
-        haloed, w, window_strides=(1, 1, 1), padding='VALID',
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
-        preferred_element_type=tiles.dtype)
+    assert weights.shape[0] == 27, 'tiled subm path is specialised to 3x3x3'
+    out = _halo_conv(tiles, tmap.nbr, tmap.nbr_found, weights)
     if bias is not None:
         out = out + bias
     return out

@@ -142,6 +142,8 @@ def test_tile_cap_overflow_drops_highest_tiles():
     kept_tile_ids = np.asarray(small.tile_ids)[np.asarray(small.tile_mask)]
     dropped_tile_id = np.asarray(full.tile_ids)[n_tiles - 1]
     assert dropped_tile_id not in kept_tile_ids
+    assert int(ST.dropped_sites(full, st.mask)) == 0
+    assert int(ST.dropped_sites(small, st.mask)) > 0
     got = ST.subm_conv3d_tiled(st.feats, st.mask, small, w)
     # sites belonging to a kept tile whose whole 1-neighbourhood is kept
     # must be exact; sites in the dropped tile read back zero
@@ -220,6 +222,38 @@ def test_lidar_encoder_engines_agree():
     for a, b in zip(s_t, s_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_engine_gradients_agree():
+    """Training correctness: param gradients through the tiled encoder
+    match the gather engine (scatter/gather/concat transposes compose
+    to the same chain rule)."""
+    from streamingflow_tpu.data import make_batch, tiny_config
+    from streamingflow_tpu.models.lidar_encoder import LidarBEVEncoder
+
+    cfg = tiny_config()
+    cfg.MODEL.MODALITY.USE_LIDAR = True
+    batch = make_batch(cfg, batch_size=1, n_points=256)
+    pts = jnp.asarray(batch['points'])[:, :1]
+
+    grads = {}
+    for engine in ('gather', 'tiled'):
+        cfg.MODEL.SPARSE_ENCODER.ENGINE = engine
+        enc = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+        v = enc.init({'params': jax.random.PRNGKey(0)}, pts)
+
+        def loss(p):
+            out, _ = enc.apply({'params': p, 'batch_stats': v['batch_stats']},
+                               pts, train=True, mutable=['batch_stats'])
+            return jnp.sum(out * out)
+
+        grads[engine] = jax.jit(jax.grad(loss))(v['params'])
+    leaves_t = jax.tree.leaves(grads['tiled'])
+    leaves_g = jax.tree.leaves(grads['gather'])
+    for a, b in zip(leaves_t, leaves_g):
+        d = float(jnp.abs(a - b).max())
+        n = float(jnp.abs(b).max()) + 1e-6
+        assert d <= 2e-3 * n + 2e-4, (d, n)
 
 
 def test_batched_vmap_matches_per_cloud():
