@@ -318,7 +318,12 @@ def sparse_conv_tiles(tiles: jnp.ndarray, tmap: TileMap,
 
     # per output site: tile slot of its contributing input + local offset
     src = jnp.clip(out_src, 0, in_coords.shape[0] - 1)
-    ts = jnp.clip(tmap.site_flat[src], 0, cap * cells - 1) // cells
+    src_flat = tmap.site_flat[src]
+    # a site whose tile overflowed TILE_CAPS points at the trash cell —
+    # yield zeros for its outputs (cleanly dropped, like the gather
+    # engine under STAGE_CAPS overflow) instead of a wrong-tile gather
+    src_ok = src_flat < cap * cells
+    ts = jnp.clip(src_flat, 0, cap * cells - 1) // cells
     flat = ts
     for d in range(3):
         tau_t = (in_coords[src, d] // tile[d]) * (tile[d] // stride[d])
@@ -327,4 +332,4 @@ def sparse_conv_tiles(tiles: jnp.ndarray, tmap: TileMap,
     res = conv.reshape(-1, conv.shape[-1])[flat]
     if bias is not None:
         res = res + bias
-    return jnp.where(out_mask[:, None], res, 0)
+    return jnp.where((out_mask & src_ok)[:, None], res, 0)
