@@ -182,15 +182,22 @@ class SparseEncoderConfig:
     VOXEL_SIZE: List[float] = field(default_factory=lambda: [0.0625, 0.0625, 0.2])
     MAX_NUM_POINTS: int = 10
     MAX_VOXELS: int = 120000
-    # static active-site capacity per stage (post-stride), TPU padding caps
-    STAGE_CAPS: List[int] = field(default_factory=lambda: [120000, 60000, 30000, 15000])
+    # Static active-site capacity per stage (post-stride), TPU padding
+    # caps.  Stride-2 site generation DILATES the active set (every
+    # input touches up to 8 output cells), so stages 2-3 need MORE slots
+    # than stage 1; sized for realistic multisweep clouds with ~15%
+    # headroom (measured: 70k/146k/132k/65k — tools/size_caps.py).
+    STAGE_CAPS: List[int] = field(
+        default_factory=lambda: [120000, 170000, 150000, 75000])
     # submanifold-conv execution backend: 'tiled' batches the 27-tap
     # neighbourhood into dense convs over occupied 8x8x8 tiles (MXU path,
     # ops/sparse_tiled.py); 'gather' is the row-gather GEMM engine
     # (ops/sparse.py).  Numerics agree to summation order.
     ENGINE: str = 'tiled'
     # static occupied-tile capacity per stage for the tiled engine
-    TILE_CAPS: List[int] = field(default_factory=lambda: [24576, 12288, 6144, 3072])
+    # (measured worst case 20.3k/10.3k/3.5k/0.7k — tools/size_caps.py)
+    TILE_CAPS: List[int] = field(
+        default_factory=lambda: [28672, 14336, 6144, 1536])
     # tile edge lengths (x, y, z) for the tiled engine; each dim must be
     # divisible by the conv strides (2).  Smaller tiles waste fewer FLOPs
     # on empty cells but need more tile slots; tune per hardware.

@@ -42,7 +42,9 @@ def tiny_config() -> Config:
     se.VOXEL_SIZE = [0.0625, 0.0625, 0.32]
     se.SPARSE_SHAPE = (256, 256, 25)
     se.MAX_VOXELS = 2048
-    se.STAGE_CAPS = [2048, 1024, 512, 256]
+    # stride-2 site generation dilates the active set, so later stages
+    # need MORE slots than their inputs (see SparseEncoderConfig)
+    se.STAGE_CAPS = [2048, 3072, 2560, 1280]
     se.TILE_CAPS = [1024, 512, 256, 128]
     se.MAX_NUM_POINTS = 10
     return cfg
