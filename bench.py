@@ -37,6 +37,12 @@ def full_cfg():
     # reference checkpoint maps onto (docs/PERF.md records both)
     cfg.MODEL.LIDAR.BACKBONE = os.environ.get(
         'STREAMINGFLOW_BENCH_BACKBONE', cfg.MODEL.LIDAR.BACKBONE)
+    # sparse-engine sweep knobs (docs/PERF.md "tiled engine")
+    se = cfg.MODEL.SPARSE_ENCODER
+    se.ENGINE = os.environ.get('STREAMINGFLOW_BENCH_SPARSE_ENGINE', se.ENGINE)
+    if 'STREAMINGFLOW_BENCH_TILE_SHAPE' in os.environ:
+        se.TILE_SHAPE = tuple(int(x) for x in os.environ[
+            'STREAMINGFLOW_BENCH_TILE_SHAPE'].split(','))
     return cfg
 
 

@@ -6,6 +6,7 @@ eps 1e-5, running-average momentum `1 - BN_MOMENTUM` in flax convention.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence
 
@@ -180,8 +181,52 @@ class UpsamplingAdd(nn.Module):
         return x + x_skip
 
 
+# Backend for the large-rate dilated convs in ASPP:
+#   'xla'  — lax.conv_general_dilated (XLA's native lowering)
+#   'taps' — 9 statically shifted (H*W, Cin) @ (Cin, Cout) matmuls
+# XLA lowers rate-12/24/36 dilated 3x3 convs poorly on TPU (the 73x73
+# effective window defeats MXU tiling; measured 2-19 % MXU utilisation),
+# while the tap decomposition is pure matmul.  Overridable per-process for
+# benchmarking (tools/profile_aspp.py decides the default).
+DILATED_CONV_BACKEND = os.environ.get('STREAMINGFLOW_DILATED_BACKEND', 'xla')
+
+
+class DilatedConv3x3(nn.Module):
+    """3x3 dilated conv computed as 9 shifted 1x1 matmuls, summed.
+
+    Mathematically identical to nn.Conv(kernel_dilation=(rate, rate),
+    padding=rate, use_bias=False) — only the accumulation order differs.
+    The param tree matches nn.Conv ('kernel', (3, 3, Cin, Cout)) so the
+    checkpoint-conversion rules (tools/rules_prediction_lc_ode_variable.py)
+    are unaffected when ASPP swaps backends."""
+    features: int
+    rate: int
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, c, self.features), jnp.float32)
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        r = self.rate
+        pad = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+        out = None
+        for di in range(3):
+            for dj in range(3):
+                sl = jax.lax.slice(pad, (0, di * r, dj * r, 0),
+                                   (n, di * r + h, dj * r + w, c))
+                t = sl.reshape(-1, c) @ kernel[di, dj]
+                out = t if out is None else out + t
+        return out.reshape(n, h, w, self.features)
+
+
 class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling. Reference: layers/convolutions.py:242-270."""
+    """Atrous spatial pyramid pooling. Reference: layers/convolutions.py:242-270.
+
+    Convs are explicitly named Conv_0..Conv_5 so the flax param paths are
+    stable across dilated-conv backends (see DILATED_CONV_BACKEND)."""
     out_channels: int = 256
     atrous_rates: Sequence[int] = (12, 24, 36)
 
@@ -192,23 +237,31 @@ class ASPP(nn.Module):
             return nn.relu(h)
 
         res = []
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False)(x)
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    name='Conv_0')(x)
         res.append(bn_relu(h))
-        for rate in self.atrous_rates:
-            h = nn.Conv(self.out_channels, (3, 3),
-                        kernel_dilation=(rate, rate),
-                        padding=[(rate, rate)] * 2, use_bias=False)(x)
+        for i, rate in enumerate(self.atrous_rates):
+            if DILATED_CONV_BACKEND == 'taps':
+                h = DilatedConv3x3(self.out_channels, rate,
+                                   name=f'Conv_{i + 1}')(x)
+            else:
+                h = nn.Conv(self.out_channels, (3, 3),
+                            kernel_dilation=(rate, rate),
+                            padding=[(rate, rate)] * 2, use_bias=False,
+                            name=f'Conv_{i + 1}')(x)
             res.append(bn_relu(h))
         # image-level pooling branch
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = nn.Conv(self.out_channels, (1, 1), use_bias=False)(pooled)
+        pooled = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                         name='Conv_4')(pooled)
         pooled = bn_relu(pooled)
         pooled = jnp.broadcast_to(
             pooled, (x.shape[0], x.shape[1], x.shape[2], self.out_channels))
         res.append(pooled)
 
         out = jnp.concatenate(res, axis=-1)
-        out = nn.Conv(self.out_channels, (1, 1), use_bias=False)(out)
+        out = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                      name='Conv_5')(out)
         out = bn_relu(out)
         out = nn.Dropout(0.5, deterministic=not train)(out)
         return out

@@ -135,3 +135,35 @@ class TestTemporal:
     def test_bigru(self):
         out = init_apply(BiGRU(8), jnp.ones((1, 3, 8, 8, 8)))
         assert out.shape == (1, 3, 8, 8, 8)
+
+
+class TestDilatedBackends:
+    """ASPP's dilated convs have two backends (layers/conv.py
+    DILATED_CONV_BACKEND): XLA's conv_general_dilated and the 9-shifted-tap
+    matmul decomposition.  They must be numerically equivalent on identical
+    params and produce identical param trees (checkpoint rules depend on
+    the Conv_0..Conv_5 paths)."""
+
+    def test_taps_matches_xla_and_param_tree_stable(self):
+        from streamingflow_tpu.layers import conv as convmod
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 17, 19, 6).astype(np.float32))
+        m = ASPP(out_channels=8, atrous_rates=(2, 5, 7))
+
+        old = convmod.DILATED_CONV_BACKEND
+        try:
+            convmod.DILATED_CONV_BACKEND = 'xla'
+            v = m.init({'params': KEY, 'dropout': KEY}, x)
+            out_xla = m.apply(v, x)
+            convmod.DILATED_CONV_BACKEND = 'taps'
+            v_taps = m.init({'params': KEY, 'dropout': KEY}, x)
+            out_taps = m.apply(v, x)     # same params, taps compute
+        finally:
+            convmod.DILATED_CONV_BACKEND = old
+
+        paths = lambda t: sorted(
+            '/'.join(map(str, p)) + f':{l.shape}' for p, l in
+            jax.tree_util.tree_flatten_with_path(t)[0])
+        assert paths(v_taps) == paths(v)
+        np.testing.assert_allclose(np.asarray(out_taps), np.asarray(out_xla),
+                                   rtol=1e-5, atol=1e-5)

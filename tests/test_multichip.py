@@ -160,3 +160,113 @@ def test_batch_stats_are_global(multichip_run):
     assert jax.tree_util.tree_leaves(s1.batch_stats), 'model must carry BN'
     _tree_allclose(s8.batch_stats, s1.batch_stats, rtol=3e-3, atol=1e-5,
                    path='batch_stats')
+
+
+@pytest.mark.skipif(os.environ.get('SF_HEAVY_TESTS') != '1',
+                    reason='~30 min/run on the 1-core CI box (two full '
+                           'spconv8x train-grad compiles); the ops-level '
+                           'test below covers the same sharding property. '
+                           'Last full run 2026-08-18: PASS, global rel grad '
+                           'gap 1.66e-2 (tools/dbg_spconv_multichip.py).')
+def test_spconv_tiled_grads_match_single_device():
+    """The tiled sparse engine under pjit: its per-cloud sorts, scatters,
+    halo gathers and the site-generation payload sort are all batch-local,
+    so GSPMD must shard them cleanly over the data axis — proven by grad
+    equality against a 1-device run (same scheme as the pillar fixture,
+    global-norm bound only to keep this heavyweight test lean)."""
+    cfg = _flagship_cfg(micro=True)
+    cfg.MODEL.LIDAR.BACKBONE = 'spconv8x'
+    rng = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=8, n_points=128).items()}
+    state = TR.create_train_state(cfg, rng, batch)
+    grad_fn = _make_grad_fn(cfg)
+    step_rng = jax.random.PRNGKey(1)
+
+    dev0 = jax.devices()[0]
+    g1 = grad_fn(jax.device_put(_tree_copy(state), dev0),
+                 {k: jax.device_put(v, dev0) for k, v in batch.items()},
+                 step_rng)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+    g8 = grad_fn(
+        jax.device_put(_tree_copy(state), NamedSharding(mesh, P())),
+        {k: jax.device_put(v, NamedSharding(mesh, P('data')))
+         for k, v in batch.items()}, step_rng)
+
+    tot_d = tot_n = 0.0
+    for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1)):
+        # compare host-side: a lives on the mesh, b on one device
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        tot_d += float(np.sum((a - b) ** 2))
+        tot_n += float(np.sum(b ** 2))
+    assert np.isfinite(tot_d) and tot_n > 0
+    assert tot_d ** 0.5 <= 0.03 * tot_n ** 0.5, tot_d ** 0.5 / tot_n ** 0.5
+
+
+def test_spconv_tiled_ops_grads_match_single_device():
+    """Ops-level version of the gated full-model test above, cheap enough
+    for every suite run: one submanifold conv + one strided downsample of
+    the tiled engine, vmapped over 8 clouds and pjit-sharded over the data
+    axis.  Exercises every sharded primitive the engine relies on — the
+    per-cloud tile-map sort, the tile scatter, the halo gathers, the
+    site-generation payload sort and the compact output gather — with
+    grads through both conv weights compared against a 1-device run."""
+    from streamingflow_tpu.ops import sparse as S
+    from streamingflow_tpu.ops import sparse_tiled as ST
+    from test_sparse_tiled import _make_set
+
+    rng = np.random.default_rng(11)
+    shape = (32, 24, 16)
+    sts = [_make_set(rng, shape, 400, 512, cluster=(i % 2 == 0))
+           for i in range(8)]
+    feats = jnp.stack([s.feats for s in sts])
+    coords = jnp.stack([s.coords for s in sts])
+    ids = jnp.stack([s.ids for s in sts])
+    masks = jnp.stack([s.mask for s in sts])
+    w1 = jnp.asarray(rng.normal(size=(27, 8, 8)).astype(np.float32)) * 0.3
+    w2 = jnp.asarray(rng.normal(size=(27, 8, 12)).astype(np.float32)) * 0.3
+    kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    out_shape = tuple((shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
+                      for d in range(3))
+
+    def loss(ws, feats, coords, ids, masks):
+        w1, w2 = ws
+
+        def one(f, c, i, m):
+            with jax.default_matmul_precision('float32'):
+                tmap = ST.build_tile_map(c, i, m, shape, cap_tiles=128)
+                h = ST.subm_conv3d_tiled(f, m, tmap, w1)
+                st = S.SparseTensor(jnp.zeros((i.shape[0], 1)), c, i, m,
+                                    shape)
+                (oi, oc, om), src = S.generate_output_sites(
+                    st, kernel, stride, padding, out_shape, 256,
+                    return_src=True)
+                tiles = ST.to_tiles(h, tmap, m)
+                of = ST.sparse_conv_tiles(tiles, tmap, c, w2, kernel,
+                                          stride, padding, oc, om, src)
+                return jnp.sum(of.astype(jnp.float32) ** 2)
+
+        return jnp.sum(jax.vmap(one)(feats, coords, ids, masks))
+
+    grad = jax.jit(jax.grad(loss))
+
+    dev0 = jax.devices()[0]
+    put1 = lambda t: jax.device_put(t, dev0)
+    g1 = grad((put1(w1), put1(w2)), put1(feats), put1(coords), put1(ids),
+              put1(masks))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+    g8 = grad((jax.device_put(w1, repl), jax.device_put(w2, repl)),
+              jax.device_put(feats, data), jax.device_put(coords, data),
+              jax.device_put(ids, data), jax.device_put(masks, data))
+
+    for a, b, name in zip(jax.tree.leaves(g8), jax.tree.leaves(g1),
+                          ('w1', 'w2')):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        n = np.linalg.norm(b)
+        assert n > 0
+        assert np.linalg.norm(a - b) <= 1e-3 * n, \
+            f'{name}: rel {np.linalg.norm(a - b) / n:.2e}'

@@ -143,8 +143,10 @@ def _convert_standalone(flax_vars, torch_module, flax_nest, torch_prefix):
                                             strict_shapes=False)
     missing = [m for m in report['missing'] if 'num_batches' not in m]
     assert missing == [], f'unconverted: {missing[:8]}'
-    return {'params': _unnest(flax_nest, new_vars['params']),
-            'batch_stats': _unnest(flax_nest, new_vars['batch_stats'])}
+    out = {'params': _unnest(flax_nest, new_vars['params'])}
+    if new_vars.get('batch_stats'):
+        out['batch_stats'] = _unnest(flax_nest, new_vars['batch_stats'])
+    return out
 
 
 def _t(x):          # numpy (B,*,C) channels-last -> torch channels-first
@@ -476,3 +478,37 @@ def test_encoder_matches_reference(torch_side):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(depth), _f(ref_depth),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_spatial_gru_matches_reference(torch_side):
+    """Refinement SpatialGRU (layers/temporal.py:11-58) on converted weights.
+
+    Exercises the TPU-side rewrites the other golden tests don't reach: the
+    fused update‖reset gate kernel and the input-half transforms hoisted out
+    of the recurrence (layers/temporal.py::GRUGates.precompute_x)."""
+    torch = torch_side
+    import jax
+    import jax.numpy as jnp
+
+    from streamingflow.layers.temporal import SpatialGRU as RefSpatialGRU
+
+    from streamingflow_tpu.layers.temporal import SpatialGRU
+
+    torch.manual_seed(3)
+    Cin, Ch, HW, T = 6, 8, 12, 3
+    ref = RefSpatialGRU(input_size=Cin, hidden_size=Ch).eval()
+    mine = SpatialGRU(input_size=Cin, hidden_size=Ch)
+
+    rng = np.random.RandomState(17)
+    x = rng.randn(2, T, HW, HW, Cin).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision('float32'):
+        variables = mine.init({'params': key}, jnp.asarray(x))
+        variables = _convert_standalone(
+            variables, ref, 'model/future_prediction/spatial_gru_0',
+            'future_prediction_ode.spatial_grus.0')
+        out = mine.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref_out = ref(_t(x))
+    np.testing.assert_allclose(np.asarray(out), _f(ref_out),
+                               rtol=1e-4, atol=1e-4)

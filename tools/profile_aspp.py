@@ -41,10 +41,41 @@ def dilated_conv_taps(x, w, rate):
     return out
 
 
+def dilated_conv_concat(x, w, rate):
+    """Same conv as one (HW, 9C) @ (9C, K) matmul over rolled copies."""
+    n, h, wd, c = x.shape
+    k = w.shape[-1]
+    pad = jnp.pad(x, ((0, 0), (rate, rate), (rate, rate), (0, 0)))
+    cols = [jax.lax.dynamic_slice(pad, (0, di * rate, dj * rate, 0),
+                                  (n, h, wd, c))
+            for di in range(3) for dj in range(3)]
+    col = jnp.concatenate(cols, axis=-1).reshape(-1, 9 * c)
+    return (col @ w.reshape(9 * c, k)).reshape(n, h, wd, k)
+
+
+def deeplab_head(backend, x):
+    """Full DeepLabHead at the production temporal-model shape."""
+    from streamingflow_tpu.layers import conv as convmod
+    from streamingflow_tpu.layers.conv import DeepLabHead
+    old = convmod.DILATED_CONV_BACKEND
+    convmod.DILATED_CONV_BACKEND = backend
+    try:
+        m = DeepLabHead(num_classes=64, hidden_channel=128)
+        v = m.init({'params': jax.random.PRNGKey(0)}, x)
+    finally:
+        convmod.DILATED_CONV_BACKEND = old
+    return m, v
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--reps', type=int, default=10)
+    ap.add_argument('--cpu', action='store_true',
+                    help='pin the CPU backend (smoke test; sitecustomize '
+                         'ignores the JAX_PLATFORMS env var)')
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
 
     dtype = jnp.bfloat16
     N, H, W, C, K = 3, 200, 200, 64, 128
@@ -81,11 +112,22 @@ def main():
     for rate in (12, 24, 36):
         bench(f'9-shifted-matmul     rate={rate}',
               lambda x, w, r=rate: dilated_conv_taps(x, w, r), x, w)
+    for rate in (12, 24, 36):
+        bench(f'im2col-concat        rate={rate}',
+              lambda x, w, r=rate: dilated_conv_concat(x, w, r), x, w)
+
+    # full module A/B on the xla-init'd params (param trees are identical)
+    mx, vx = deeplab_head('xla', x)
+    mt, _ = deeplab_head('taps', x)
+    bench('DeepLabHead xla ', lambda xx: mx.apply(vx, xx), x)
+    bench('DeepLabHead taps', lambda xx: mt.apply(vx, xx), x)
 
     # parity
     a = dilated_conv_ref(x.astype(jnp.float32), w.astype(jnp.float32), 12)
     b = dilated_conv_taps(x.astype(jnp.float32), w.astype(jnp.float32), 12)
-    print('max abs diff (fp32):', float(jnp.max(jnp.abs(a - b))))
+    c = dilated_conv_concat(x.astype(jnp.float32), w.astype(jnp.float32), 12)
+    print('max abs diff taps   (fp32):', float(jnp.max(jnp.abs(a - b))))
+    print('max abs diff concat (fp32):', float(jnp.max(jnp.abs(a - c))))
 
 
 if __name__ == '__main__':
