@@ -116,10 +116,12 @@ def make_cost_grid(x_bound, y_bound, ego_width: float, ego_height: float,
 def discretize(grid: CostGrid, trajs: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, N, T, 2) metres -> clipped integer (row, col). Reference
-    cost.py:129-143 (torch .long() truncation semantics)."""
-    yi = jnp.clip((trajs[..., 0] - grid.bx[0]) / grid.dx[0], 0,
+    cost.py:129-143 (torch .long() truncation semantics): the row index
+    comes from the y-component (trajs[..., 1]) and the column index from
+    the x-component — the same (x, y) -> (col, row) swap get_points does."""
+    yi = jnp.clip((trajs[..., 1] - grid.bx[0]) / grid.dx[0], 0,
                   grid.bev_dimension[0] - 1).astype(jnp.int32)
-    xi = jnp.clip((trajs[..., 1] - grid.bx[1]) / grid.dx[1], 0,
+    xi = jnp.clip((trajs[..., 0] - grid.bx[1]) / grid.dx[1], 0,
                   grid.bev_dimension[1] - 1).astype(jnp.int32)
     return yi, xi
 

@@ -268,7 +268,8 @@ class PlanningMetric:
         g2 = gt_trajs[:, :, :2] * flip
         for i in range(B):
             gt_box_coll = self._single_coll(g2[i], segmentation[i])
-            yy, xx = t2[i, :, 0], t2[i, :, 1]
+            # row index from the y-component, column from x (ref :349-351)
+            xx, yy = t2[i, :, 0], t2[i, :, 1]
             yi = ((yy - self.bx[0]) / self.dx[0]).astype(np.int64)
             xi = ((xx - self.bx[1]) / self.dx[1]).astype(np.int64)
             m1 = ((yi >= 0) & (yi < self.bev_dimension[0])

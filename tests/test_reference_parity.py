@@ -512,3 +512,122 @@ def test_spatial_gru_matches_reference(torch_side):
         ref_out = ref(_t(x))
     np.testing.assert_allclose(np.asarray(out), _f(ref_out),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_temporal_model_matches_reference(torch_side):
+    """TemporalModel (temporal_model.py:8-70) on converted weights: covers
+    TemporalBlock composition, the block-mean pyramid-pooling rewrite of
+    reference avg-pool semantics, CausalConv3d left-only padding,
+    and the trailing DeepLabHead."""
+    torch = torch_side
+    import jax
+    import jax.numpy as jnp
+
+    from streamingflow.models.temporal_model import TemporalModel as RefTM
+
+    from streamingflow_tpu.models.temporal_model import TemporalModel
+
+    torch.manual_seed(5)
+    C, HW, T = 8, 16, 3
+    ref = RefTM(in_channels=C, receptive_field=T, input_shape=(HW, HW),
+                start_out_channels=C, use_pyramid_pooling=True).eval()
+    mine = TemporalModel(receptive_field=T, input_shape=(HW, HW),
+                         start_out_channels=C)
+
+    rng = np.random.RandomState(23)
+    x = rng.randn(1, T, HW, HW, C).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision('float32'):
+        variables = mine.init({'params': key}, jnp.asarray(x))
+        variables = _convert_standalone(variables, ref,
+                                        'model/temporal_model',
+                                        'temporal_model')
+        out = mine.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref_out = ref(_t(x))
+    np.testing.assert_allclose(np.asarray(out), _f(ref_out),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_cost_function_matches_reference(torch_side):
+    """Planning cost aggregation (cost.py:10-47) and every sub-cost —
+    safety (velocity-weighted inflated footprint), headway, the
+    scan-based LR-divider rewrite of the reference's torch.nonzero loop,
+    comfort, progress, rule, cost-volume sampling — on identical inputs
+    at the real 200x200 grid."""
+    torch = torch_side
+    import jax.numpy as jnp
+
+    from streamingflow.cost import Cost_Function
+
+    from streamingflow_tpu.ops import cost as C
+
+    cfg_t = ref_shims.ref_flagship_cfg()
+    ref = Cost_Function(cfg_t)
+
+    rng = np.random.RandomState(29)
+    B, N, T = 2, 9, cfg_t.N_FUTURE_FRAMES
+    H = W = 200
+    cost_volume = (rng.rand(B, T, H, W) * 20 - 5).astype(np.float32)
+    trajs = np.cumsum(rng.randn(B, N, T, 2).astype(np.float32) * 2, axis=2)
+    semantic_pred = rng.rand(B, T, H, W).astype(np.float32)
+    lane_divider = (rng.randn(B, 2, H, W) * 3).astype(np.float32)
+    drivable_area = (rng.randn(B, 2, H, W) * 3).astype(np.float32)
+    target_points = (rng.randn(B, 2) * 5 + 3).astype(np.float32)
+
+    with torch.no_grad():
+        fc_r, fo_r = ref(torch.from_numpy(cost_volume),
+                         torch.from_numpy(trajs.copy()),
+                         torch.from_numpy(semantic_pred),
+                         torch.from_numpy(lane_divider),
+                         torch.from_numpy(drivable_area),
+                         torch.from_numpy(target_points))
+
+    grid = C.make_cost_grid(cfg_t.LIFT.X_BOUND, cfg_t.LIFT.Y_BOUND,
+                            cfg_t.EGO.WIDTH, cfg_t.EGO.HEIGHT,
+                            cfg_t.COST_FUNCTION.LAMBDA)
+    fc, fo = C.total_cost(grid, cfg_t.COST_FUNCTION,
+                          jnp.asarray(cost_volume), jnp.asarray(trajs),
+                          jnp.asarray(semantic_pred),
+                          jnp.asarray(lane_divider),
+                          jnp.asarray(drivable_area),
+                          jnp.asarray(target_points))
+    np.testing.assert_allclose(np.asarray(fc), fc_r.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fo), fo_r.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_planning_metric_matches_reference(torch_side):
+    """PlanningMetric (metrics.py:263-395): L2, point collision (row from
+    the y-component) and ego-box collision on identical trajectories and
+    occupancy."""
+    torch = torch_side
+    from streamingflow.metrics import PlanningMetric as RefPM
+
+    from streamingflow_tpu.training.metrics import PlanningMetric
+
+    cfg_t = ref_shims.ref_flagship_cfg()
+    T = 4
+    ref = RefPM(cfg_t, n_future=T)
+    mine = PlanningMetric(cfg_t, n_future=T)
+
+    rng = np.random.RandomState(31)
+    for _ in range(3):
+        B = 2
+        trajs = np.cumsum(rng.randn(B, T, 3).astype(np.float32) * 3, axis=1)
+        gt = np.cumsum(rng.randn(B, T, 3).astype(np.float32) * 3, axis=1)
+        # sparse occupancy: box collisions must hinge on exact cell sets
+        seg = (rng.rand(B, T, 200, 200) > 0.995).astype(np.float32)
+        with torch.no_grad():
+            ref.update(torch.from_numpy(trajs.copy()),
+                       torch.from_numpy(gt.copy()),
+                       torch.from_numpy(seg.copy()))
+        mine.update(trajs, gt, seg)
+
+    r = {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+         for k, v in ref.compute().items()}
+    m = mine.compute()
+    for k in ('L2', 'obj_col', 'obj_box_col'):
+        np.testing.assert_allclose(m[k], r[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
