@@ -192,15 +192,17 @@ DILATED_CONV_BACKEND = os.environ.get('STREAMINGFLOW_DILATED_BACKEND', 'xla')
 
 
 class DilatedConv3x3(nn.Module):
-    """3x3 dilated conv computed as 9 shifted 1x1 matmuls, summed.
+    """3x3 dilated/strided conv computed as 9 shifted 1x1 matmuls, summed.
 
     Mathematically identical to nn.Conv(kernel_dilation=(rate, rate),
-    padding=rate, use_bias=False) — only the accumulation order differs.
-    The param tree matches nn.Conv ('kernel', (3, 3, Cin, Cout)) so the
-    checkpoint-conversion rules (tools/rules_prediction_lc_ode_variable.py)
-    are unaffected when ASPP swaps backends."""
+    strides=(stride, stride), padding=rate, use_bias=False) — only the
+    accumulation order differs.  The param tree matches nn.Conv
+    ('kernel', (3, 3, Cin, Cout)) so the checkpoint-conversion rules
+    (tools/rules_prediction_lc_ode_variable.py) are unaffected when a
+    caller swaps backends."""
     features: int
-    rate: int
+    rate: int = 1
+    stride: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -210,16 +212,20 @@ class DilatedConv3x3(nn.Module):
         dt = jnp.promote_types(x.dtype, kernel.dtype)
         x = x.astype(dt)
         kernel = kernel.astype(dt)
-        r = self.rate
+        r, s = self.rate, self.stride
+        oh = (h + 2 * r - (2 * r + 1)) // s + 1
+        ow = (w + 2 * r - (2 * r + 1)) // s + 1
         pad = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
         out = None
         for di in range(3):
             for dj in range(3):
-                sl = jax.lax.slice(pad, (0, di * r, dj * r, 0),
-                                   (n, di * r + h, dj * r + w, c))
+                sl = jax.lax.slice(
+                    pad, (0, di * r, dj * r, 0),
+                    (n, di * r + (oh - 1) * s + 1, dj * r + (ow - 1) * s + 1,
+                     c), (1, s, s, 1))
                 t = sl.reshape(-1, c) @ kernel[di, dj]
                 out = t if out is None else out + t
-        return out.reshape(n, h, w, self.features)
+        return out.reshape(n, oh, ow, self.features)
 
 
 class ASPP(nn.Module):

@@ -24,6 +24,7 @@ parity work.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -113,14 +114,28 @@ def pillarize(points: jnp.ndarray, point_mask: jnp.ndarray,
     return feats.reshape(nx, ny, -1)
 
 
+# Lowering for the ladder's 3x3 convs: 'xla' (native conv) or 'taps'
+# (9 shifted matmuls — same params/paths, identical numerics; see
+# layers/conv.py::DilatedConv3x3).  XLA convs at the 400^2 / 64-out shapes
+# measure 7-16 % MXU utilisation; the microbench
+# (tools/exp_pillar_convforms.py) decides the default on TPU.
+PILLAR_CONV_BACKEND = os.environ.get('STREAMINGFLOW_PILLAR_CONV', 'xla')
+
+
 class ConvBNReLU(nn.Module):
     features: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1)] * 2, use_bias=False)(x)
+        if PILLAR_CONV_BACKEND == 'taps':
+            from ..layers.conv import DilatedConv3x3
+            x = DilatedConv3x3(self.features, stride=self.stride,
+                               name='Conv_0')(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                        padding=[(1, 1)] * 2, use_bias=False,
+                        name='Conv_0')(x)
         # reference BN eps 1e-3 / momentum 0.01 (sparse_encoder.py:39-40)
         x = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
                          use_running_average=not train)(x)

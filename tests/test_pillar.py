@@ -106,3 +106,29 @@ def test_pillarize_cf_layout_matches_bev():
     assert b.shape == (a.shape[2], a.shape[0], a.shape[1])
     np.testing.assert_array_equal(np.asarray(a),
                                   np.asarray(jnp.transpose(b, (1, 2, 0))))
+
+
+def test_conv_backends_equivalent():
+    """The taps lowering of the ladder convs (PILLAR_CONV_BACKEND='taps')
+    must equal XLA's native conv on identical params — stride 1 and 2 —
+    and produce the same param tree (Conv_0 paths)."""
+    from streamingflow_tpu.models import pillar_encoder as PE
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 16, 16, 6).astype(np.float32))
+    old = PE.PILLAR_CONV_BACKEND
+    outs, trees = {}, {}
+    try:
+        for backend in ('xla', 'taps'):
+            PE.PILLAR_CONV_BACKEND = backend
+            for stride in (1, 2):
+                m = PE.ConvBNReLU(8, stride=stride)
+                v = m.init({'params': jax.random.PRNGKey(0)}, x)
+                outs[backend, stride] = np.asarray(m.apply(v, x))
+                trees[backend, stride] = jax.tree_util.tree_structure(v)
+    finally:
+        PE.PILLAR_CONV_BACKEND = old
+    for stride in (1, 2):
+        assert trees['xla', stride] == trees['taps', stride]
+        np.testing.assert_allclose(outs['taps', stride], outs['xla', stride],
+                                   rtol=1e-5, atol=1e-5)
