@@ -52,7 +52,31 @@ def _timed_once(fn):
     return time.perf_counter() - t0
 
 
+def _probe_device(timeout_s: int = 180):
+    """Fail fast if the accelerator backend is unreachable.
+
+    On this platform a dead device tunnel makes ``jax.devices()`` hang
+    forever with no output; probing in a subprocess with a hard timeout
+    turns a silent multi-hour hang into an immediate, explicit error."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f'bench: device backend unreachable (jax.devices() did not '
+              f'return within {timeout_s}s) — aborting instead of hanging',
+              file=sys.stderr)
+        raise SystemExit(1)
+    if proc.returncode != 0:
+        print('bench: device backend init failed:\n' + proc.stderr[-2000:],
+              file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main():
+    if os.environ.get('STREAMINGFLOW_BENCH_SKIP_PROBE') != '1':
+        _probe_device()
     preset = os.environ.get('STREAMINGFLOW_BENCH_PRESET', 'full')
     n_points = int(os.environ.get('STREAMINGFLOW_BENCH_POINTS', '80000'))
     reps = int(os.environ.get('STREAMINGFLOW_BENCH_REPS', '10'))

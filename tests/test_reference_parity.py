@@ -631,3 +631,109 @@ def test_planning_metric_matches_reference(torch_side):
     for k in ('L2', 'obj_col', 'obj_box_col'):
         np.testing.assert_allclose(m[k], r[k], rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+
+def test_planning_select_and_loss_match_reference(torch_side):
+    """Planning head decision logic (planning_model.py:47-87): cost-based
+    candidate selection (top-1 over fc + fo.sum) and the max-margin loss
+    (gt cost must undercut each sample's cost by its L2 gap) on identical
+    inputs at the real 200x200 grid.  The GRU refinement itself is
+    covered structurally in test_planning.py (this framework pools the
+    front-cam feature instead of flattening exact spatial dims — a
+    documented deviation, docs/PARITY.md)."""
+    torch = torch_side
+    import jax.numpy as jnp
+
+    from streamingflow.models.planning_model import Planning as RefPlanning
+
+    from streamingflow_tpu.config import load_cfg
+    from streamingflow_tpu.models.planning import Planning
+
+    cfg_t = ref_shims.ref_flagship_cfg()
+    ref = RefPlanning(cfg_t, feature_channel=64)
+    ref.eval()
+
+    cfg = load_cfg(os.path.join(os.path.dirname(RULES_PATH), '..',
+                                'configs', 'prediction_lc_ode_variable.yml'))
+    mine = Planning(cfg, feature_channel=64)
+
+    rng = np.random.RandomState(37)
+    B, N, T = 2, 9, cfg_t.N_FUTURE_FRAMES
+    H = W = 200
+    cost_volume = (rng.rand(B, T, H, W) * 20 - 5).astype(np.float32)
+    trajs = np.cumsum(rng.randn(B, N, T, 3).astype(np.float32) * 2, axis=2)
+    gt_trajs = np.cumsum(rng.randn(B, T, 3).astype(np.float32) * 2, axis=1)
+    semantic_pred = rng.rand(B, T, H, W).astype(np.float32)
+    lane_divider = (rng.randn(B, 2, H, W) * 3).astype(np.float32)
+    drivable_area = (rng.randn(B, 2, H, W) * 3).astype(np.float32)
+    target_points = (rng.randn(B, 2) * 5 + 3).astype(np.float32)
+
+    with torch.no_grad():
+        sel_r = ref.select(torch.from_numpy(trajs.copy()),
+                           torch.from_numpy(cost_volume),
+                           torch.from_numpy(semantic_pred),
+                           torch.from_numpy(lane_divider),
+                           torch.from_numpy(drivable_area),
+                           torch.from_numpy(target_points))
+        loss_r = ref.loss(torch.from_numpy(trajs.copy()),
+                          torch.from_numpy(gt_trajs.copy()),
+                          torch.from_numpy(cost_volume),
+                          torch.from_numpy(semantic_pred),
+                          torch.from_numpy(lane_divider),
+                          torch.from_numpy(drivable_area),
+                          torch.from_numpy(target_points))
+
+    empty = {'params': {}}
+    sel = mine.apply(empty, jnp.asarray(trajs), jnp.asarray(cost_volume),
+                     jnp.asarray(semantic_pred), jnp.asarray(lane_divider),
+                     jnp.asarray(drivable_area), jnp.asarray(target_points),
+                     method=Planning.select)
+    loss = mine.apply(empty, jnp.asarray(trajs), jnp.asarray(gt_trajs),
+                      jnp.asarray(cost_volume), jnp.asarray(semantic_pred),
+                      jnp.asarray(lane_divider), jnp.asarray(drivable_area),
+                      jnp.asarray(target_points), method=Planning.loss)
+    np.testing.assert_allclose(np.asarray(sel), sel_r.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(loss), float(loss_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('mode', ['bilinear', 'nearest'])
+def test_cumulative_warps_match_reference(torch_side, mode):
+    """Label warping (utils/geometry.py:241-296): cumulative forward and
+    reverse egomotion warps against the reference functions themselves —
+    the exact ops behind prepare_future_labels (trainer.py:283-394)."""
+    torch = torch_side
+    import jax.numpy as jnp
+
+    from streamingflow.utils import geometry as RG
+
+    from streamingflow_tpu import geometry as G
+
+    rng = np.random.RandomState(41)
+    B, T, H, W, C = 2, 4, 40, 40, 3
+    x = rng.rand(B, T, H, W, C).astype(np.float32)
+    flow = np.zeros((B, T, 6), np.float32)
+    flow[..., 0] = rng.randn(B, T) * 1.7          # x translation (m)
+    flow[..., 1] = rng.randn(B, T) * 1.3          # y translation (m)
+    flow[..., 5] = rng.randn(B, T) * 0.21         # yaw (rad)
+    extent = (19.8, 19.8)
+
+    xt = _t(x)                                     # (B, T, C, H, W)
+    with torch.no_grad():
+        fwd_r = RG.cumulative_warp_features(
+            xt.clone(), torch.from_numpy(flow.copy()), mode=mode,
+            spatial_extent=extent)
+        rev_r = RG.cumulative_warp_features_reverse(
+            xt.clone(), torch.from_numpy(flow.copy()), mode=mode,
+            spatial_extent=extent)
+
+    fwd = G.cumulative_warp_features(jnp.asarray(x), jnp.asarray(flow),
+                                     mode=mode, spatial_extent=extent)
+    rev = G.cumulative_warp_features_reverse(jnp.asarray(x),
+                                             jnp.asarray(flow), mode=mode,
+                                             spatial_extent=extent)
+    np.testing.assert_allclose(np.asarray(fwd), _f(fwd_r),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rev), _f(rev_r),
+                               rtol=1e-4, atol=2e-4)
