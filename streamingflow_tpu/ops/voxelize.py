@@ -98,12 +98,17 @@ def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray,
     keep = valid_s & (within < max_points) & (run_rank < max_voxels)
 
     slot = jnp.where(keep, run_rank, max_voxels)
+    # per-voxel mean in fp32 regardless of input dtype (the reference
+    # @force_fp32-guards voxelize, streamingflow.py:171), then back to the
+    # caller's dtype: a bf16 caller must get bf16 voxel features out, or
+    # the whole sparse ladder silently promotes to fp32 (2x tile HBM).
     feats_sum = jax.ops.segment_sum(
-        jnp.where(keep[:, None], pts_s, 0.0), slot,
+        jnp.where(keep[:, None], pts_s.astype(jnp.float32), 0.0), slot,
         num_segments=max_voxels + 1)[:max_voxels]
     counts = jax.ops.segment_sum(keep.astype(jnp.float32), slot,
                                  num_segments=max_voxels + 1)[:max_voxels]
-    feats = feats_sum / jnp.maximum(counts[:, None], 1.0)
+    feats = (feats_sum / jnp.maximum(counts[:, None], 1.0)).astype(
+        points.dtype)
 
     slot_ids = jax.ops.segment_min(
         jnp.where(first & (run_rank < max_voxels), ids_s, LARGE_ID),
