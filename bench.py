@@ -43,6 +43,9 @@ def full_cfg():
     if 'STREAMINGFLOW_BENCH_TILE_SHAPE' in os.environ:
         se.TILE_SHAPE = tuple(int(x) for x in os.environ[
             'STREAMINGFLOW_BENCH_TILE_SHAPE'].split(','))
+    if os.environ.get('STREAMINGFLOW_BENCH_DTYPE', 'bf16') == 'bf16':
+        # LiDAR ladder in bf16 while points stay fp32 (binning exactness)
+        se.COMPUTE_DTYPE = 'bfloat16'
     return cfg
 
 
@@ -103,17 +106,18 @@ def main():
 
     # Mixed precision (reference ships PRECISION: 16,
     # configs/Prediction_LC_ODE_Variable.yml:6): run the forward in bf16.
-    # Timestamps / camera geometry stay fp32 (ODE step arithmetic and voxel
-    # quantisation are precision-sensitive); dense tensors and weights go
-    # bf16 so conv/matmul hit the MXU at full rate and HBM traffic halves.
+    # Timestamps / camera geometry / POINTS stay fp32 (ODE step arithmetic
+    # and voxel quantisation are precision-sensitive — bf16 ulp at 54 m
+    # range exceeds the 0.0625 m voxel size); the LiDAR branch still runs
+    # bf16 via SPARSE_ENCODER.COMPUTE_DTYPE (set in full_cfg), so dense
+    # tensors and weights hit the MXU at full rate and HBM traffic halves.
     if os.environ.get('STREAMINGFLOW_BENCH_DTYPE', 'bf16') == 'bf16':
         def to_bf16(x):
             return (x.astype(jnp.bfloat16)
                     if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x)
         variables = jax.tree.map(to_bf16, variables)
-        for k in ('image', 'points'):
-            if args.get(k) is not None:
-                args[k] = to_bf16(args[k])
+        if args.get('image') is not None:
+            args['image'] = to_bf16(args['image'])
 
     @jax.jit
     def forward(chain, a):

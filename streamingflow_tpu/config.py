@@ -189,11 +189,27 @@ class SparseEncoderConfig:
     # headroom (measured: 70k/146k/132k/65k — tools/size_caps.py).
     STAGE_CAPS: List[int] = field(
         default_factory=lambda: [120000, 170000, 150000, 75000])
-    # submanifold-conv execution backend: 'tiled' batches the 27-tap
-    # neighbourhood into dense convs over occupied 8x8x8 tiles (MXU path,
-    # ops/sparse_tiled.py); 'gather' is the row-gather GEMM engine
+    # submanifold-conv execution backend: 'column' keeps (x, y)-sparse
+    # columns with a dense z axis in a z-fused (V_col, nz*C) layout — one
+    # wide 9-tap gather + dense z conv per conv (ops/sparse_columns.py,
+    # the flagship-scale TPU path); 'tiled' batches the 27-tap
+    # neighbourhood into dense convs over occupied 8x8x8 tiles
+    # (ops/sparse_tiled.py); 'gather' is the row-gather GEMM engine
     # (ops/sparse.py).  Numerics agree to summation order.
-    ENGINE: str = 'tiled'
+    ENGINE: str = 'column'
+    # static active-column capacity per stage for the column engine;
+    # stride-2 site generation DILATES the column set before the coarser
+    # grid re-merges it, so stage 2 needs MORE columns than stage 1.
+    # Sized for realistic multisweep clouds with ~15% headroom (measured
+    # worst case 56k/75k/59k/29k — tools/size_caps.py).
+    COLUMN_CAPS: List[int] = field(
+        default_factory=lambda: [65536, 86016, 69632, 34816])
+    # z-axis conv formulation for the column engine: 'sep' (dx=0 taps as
+    # sorted-order slices, 6 gathers instead of 8 — default), 'banded'
+    # (9-tap gather + fused matmuls, zero relayouts), or 'conv' (9-tap
+    # gather + lax.conv over z, minimal FLOPs, pays tap-stack
+    # transposes).  A/B per hardware: tools/exp_column_pieces.py.
+    Z_FORMULATION: str = 'sep'
     # static occupied-tile capacity per stage for the tiled engine
     # (measured worst case 20.3k/10.3k/3.5k/0.7k — tools/size_caps.py)
     TILE_CAPS: List[int] = field(
@@ -202,6 +218,12 @@ class SparseEncoderConfig:
     # divisible by the conv strides (2).  Smaller tiles waste fewer FLOPs
     # on empty cells but need more tile slots; tune per hardware.
     TILE_SHAPE: Tuple[int, int, int] = (8, 8, 8)
+    # LiDAR-branch compute dtype: 'auto' follows the points dtype;
+    # 'bfloat16' runs the conv ladder in bf16 while POINTS STAY fp32 (voxel
+    # quantisation is precision-sensitive: bf16 ulp at 54 m range exceeds
+    # the 0.0625 m voxel size).  Mixed-precision runs set 'bfloat16' here
+    # instead of casting the point cloud.
+    COMPUTE_DTYPE: str = 'auto'
 
 
 @_cfg

@@ -24,28 +24,63 @@ from flax import linen as nn
 
 from ..config import SparseEncoderConfig
 from ..ops import sparse as S
+from ..ops import sparse_columns as colops
 from ..ops import sparse_tiled as tileops
 from ..ops.voxelize import voxelize
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over (..., V, C) sparse features with a validity mask.
+    """BatchNorm over sparse features with a validity mask.
 
-    torch BN1d semantics: eps 1e-3, momentum 0.01 (running = 0.99*old +
-    0.01*batch), biased batch var for normalisation, unbiased for the
-    running update."""
+    Two input layouts, dispatched on mask rank:
+    * compact rows:   x (..., V, C),       mask (..., V)
+    * fused columns:  x (..., V, nz*C),    mask (..., V, nz)  — the column
+      engine's z-fused layout (ops/sparse_columns.py); statistics are
+      per-channel over active cells, computed WITHOUT leaving the fused
+      layout (the (nz*C,) -> (nz, C) reshape happens on a tiny vector).
+
+    torch BN1d semantics either way: eps 1e-3, momentum 0.01 (running =
+    0.99*old + 0.01*batch), biased batch var for normalisation, unbiased
+    for the running update."""
     momentum: float = 0.99
     epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
-        c = x.shape[-1]
+        fused = mask.ndim == x.ndim
+        nz = mask.shape[-1] if fused else 1
+        c = x.shape[-1] // nz
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((c,), jnp.float32))
         scale = self.param('scale', nn.initializers.ones, (c,))
         bias = self.param('bias', nn.initializers.zeros, (c,))
+
+        if fused:
+            mrep = jnp.repeat(mask, c, axis=-1)
+            if train:
+                mf = mrep.astype(jnp.float32)
+                xf = x.astype(jnp.float32)
+                n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+                red = tuple(range(x.ndim - 1))
+                mean = jnp.sum(xf * mf, axis=red).reshape(nz, c).sum(0) / n
+                var = (jnp.sum(xf * xf * mf, axis=red).reshape(nz, c).sum(0)
+                       / n - mean * mean)
+                var = jnp.maximum(var, 0.0)
+                if not self.is_initializing():
+                    ra_mean.value = (self.momentum * ra_mean.value
+                                     + (1 - self.momentum) * mean)
+                    unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                    ra_var.value = (self.momentum * ra_var.value
+                                    + (1 - self.momentum) * unbiased)
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = (x - jnp.tile(mean, nz).astype(x.dtype)
+                 ) * jnp.tile(inv, nz).astype(x.dtype
+                 ) + jnp.tile(bias, nz).astype(x.dtype)
+            return jnp.where(mrep, y, 0.0)
 
         if train:
             m = mask[..., None].astype(x.dtype)
@@ -80,17 +115,23 @@ def _batched_tmap(coords, ids, mask, shape, cap_tiles, tile):
         c, i, m, shape, cap_tiles, tile=tile))(coords, ids, mask)
 
 
-def _batched_subm(feats, mask, geo, weights):
+def _batched_subm(feats, mask, geo, weights, formulation='banded'):
     """Submanifold conv batched over clouds; `geo` selects the engine.
 
     TileMap: `feats` is the dense tile tensor (B, T_cap, tx, ty, tz, C)
     — halo exchange + one dense conv on the MXU; padded cells pick up
     neighbourhood sums but the masked BN that always follows zeroes
     them, so tile residency across a whole stage is exact.
+    ColumnMap: `feats` is the z-fused column tensor (B, V_col, nz*C) and
+    `mask` the per-column z occupancy (B, V_col, nz) — one wide 9-tap
+    gather + dense z-axis conv (ops/sparse_columns.py).
     NeighborMap: compact (B, V, C) row-gather GEMM."""
     if isinstance(geo, tileops.TileMap):
         return jax.vmap(lambda tl, g: tileops.subm_conv_tiles(tl, g, weights))(
             feats, geo)
+    if isinstance(geo, colops.ColumnMap):
+        return jax.vmap(lambda f, zm, cm: colops.subm_conv_columns(
+            f, zm, cm, weights, formulation=formulation))(feats, mask, geo)
     return jax.vmap(lambda f, m, nm: S.gather_gemm(f, nm, weights, m))(
         feats, mask, geo)
 
@@ -107,17 +148,25 @@ def _batched_sparse_conv(feats, coords, ids, mask, shape, weights, kernel,
     return (*out, out_shape)
 
 
+def _cin_of(feats, mask):
+    """Input channel count: fused column tensors carry nz*C in the last dim
+    (mask rank tells them apart — see MaskedBatchNorm)."""
+    nz = mask.shape[-1] if mask.ndim == feats.ndim else 1
+    return feats.shape[-1] // nz
+
+
 class SubMConvBNReLU(nn.Module):
     out_channels: int
     kernel: int = 3
+    formulation: str = 'banded'
 
     @nn.compact
     def __call__(self, feats, mask, nmap, train: bool = False):
         k3 = self.kernel ** 3
         w = self.param('kernel', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'),
-            (k3, feats.shape[-1], self.out_channels))
-        h = _batched_subm(feats, mask, nmap, w)
+            (k3, _cin_of(feats, mask), self.out_channels))
+        h = _batched_subm(feats, mask, nmap, w, self.formulation)
         h = MaskedBatchNorm()(h, mask, train=train)
         return nn.relu(h)
 
@@ -125,18 +174,20 @@ class SubMConvBNReLU(nn.Module):
 class SparseBasicBlock(nn.Module):
     """Residual block of two subm convs (mmdet3d/ops/sparse_block.py:62)."""
     channels: int
+    formulation: str = 'banded'
 
     @nn.compact
     def __call__(self, feats, mask, nmap, train: bool = False):
         identity = feats
         w1 = self.param('kernel1', nn.initializers.variance_scaling(
-            1.0, 'fan_in', 'uniform'), (27, feats.shape[-1], self.channels))
-        h = _batched_subm(feats, mask, nmap, w1)
+            1.0, 'fan_in', 'uniform'), (27, _cin_of(feats, mask),
+                                        self.channels))
+        h = _batched_subm(feats, mask, nmap, w1, self.formulation)
         h = MaskedBatchNorm(name='bn1')(h, mask, train=train)
         h = nn.relu(h)
         w2 = self.param('kernel2', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'), (27, self.channels, self.channels))
-        h = _batched_subm(h, mask, nmap, w2)
+        h = _batched_subm(h, mask, nmap, w2, self.formulation)
         h = MaskedBatchNorm(name='bn2')(h, mask, train=train)
         return nn.relu(h + identity)
 
@@ -188,6 +239,47 @@ class SparseConvBNReLU(nn.Module):
         return nn.relu(feats), coords, ids, mask, shape
 
 
+class ColumnSparseConvBNReLU(nn.Module):
+    """Strided sparse conv + BN + ReLU over z-fused columns.
+
+    Same parameter tree as SparseConvBNReLU ('kernel' (prod(k), Cin, Cout)
+    + MaskedBatchNorm_0), so checkpoints are engine-portable.  Emits the
+    new batched ColumnSet (new active columns, dilated zmask)."""
+    out_channels: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    cap: int
+    formulation: str = 'banded'
+
+    @nn.compact
+    def __call__(self, cs, shape, train: bool = False):
+        kprod = self.kernel[0] * self.kernel[1] * self.kernel[2]
+        nz = cs.zmask.shape[-1]
+        cin = cs.feats.shape[-1] // nz
+        w = self.param('kernel', nn.initializers.variance_scaling(
+            1.0, 'fan_in', 'uniform'), (kprod, cin, self.out_channels))
+        cap = min(self.cap, ((shape[0] + 2 * self.padding[0] - self.kernel[0])
+                             // self.stride[0] + 1)
+                  * ((shape[1] + 2 * self.padding[1] - self.kernel[1])
+                     // self.stride[1] + 1))
+
+        def one(f, ci, cc, cm, zm):
+            c = colops.ColumnSet(f, ci, cc, cm, zm)
+            out_cs, _ = colops.sparse_conv_columns(
+                c, w, self.kernel, self.stride, self.padding, shape, cap,
+                formulation=self.formulation)
+            return out_cs
+
+        out = jax.vmap(one)(cs.feats, cs.col_ids, cs.col_coords,
+                            cs.col_mask, cs.zmask)
+        out_shape = tuple(
+            (shape[d] + 2 * self.padding[d] - self.kernel[d])
+            // self.stride[d] + 1 for d in range(3))
+        feats = MaskedBatchNorm()(out.feats, out.zmask, train=train)
+        return out._replace(feats=nn.relu(feats)), out_shape
+
+
 class LidarBEVEncoder(nn.Module):
     """points (B, T, P, 5) -> BEV features (B, T, X, Y, 2*output_channels)."""
     cfg: SparseEncoderConfig
@@ -201,10 +293,17 @@ class LidarBEVEncoder(nn.Module):
         # NuscenesData.py:869-873, which its CUDA voxelizer also bins)
         pt_mask = jnp.any(flat_pts[..., :3] != 0, axis=-1)
 
+        # mixed precision: points stay fp32 for exact voxel binning, the
+        # ladder runs in COMPUTE_DTYPE (bf16 under the bench/train bf16
+        # mode; fp32 params can still promote intermediates, so the output
+        # is also cast — the downstream temporal/ODE stack must see
+        # COMPUTE_DTYPE regardless)
+        out_dtype = (jnp.dtype(cfg.COMPUTE_DTYPE)
+                     if cfg.COMPUTE_DTYPE != 'auto' else flat_pts.dtype)
         vox = jax.vmap(functools.partial(
             voxelize, point_cloud_range=cfg.POINT_CLOUD_RANGE,
             voxel_size=cfg.VOXEL_SIZE, max_points=cfg.MAX_NUM_POINTS,
-            max_voxels=cfg.MAX_VOXELS))(flat_pts, pt_mask)
+            max_voxels=cfg.MAX_VOXELS, out_dtype=out_dtype))(flat_pts, pt_mask)
         feats, coords, mask = vox.feats, vox.coords, vox.mask
         shape = tuple(cfg.SPARSE_SHAPE)
         # Re-linearise ids into the SPARSE_SHAPE id space (the reference's
@@ -213,6 +312,10 @@ class LidarBEVEncoder(nn.Module):
         # preserved.
         from ..ops.voxelize import LARGE_ID, linearize
         ids = jnp.where(mask, linearize(coords, shape), LARGE_ID)
+
+        if cfg.ENGINE == 'column':
+            return self._column_ladder(feats, ids, mask, shape, B, T,
+                                       out_dtype, train)
 
         # conv_input (sparse_encoder.py:74-82): the stage geometry cache
         # (27-tap neighbour map, or occupied-tile map for the tiled
@@ -282,4 +385,54 @@ class LidarBEVEncoder(nn.Module):
         dense = jax.vmap(densify)(feats, coords, ids, mask)
         nx, ny, nz = shape
         dense = jnp.swapaxes(dense, -1, -2).reshape(B, T, nx, ny, -1)
-        return dense
+        return dense.astype(out_dtype)
+
+    def _column_ladder(self, feats, ids, mask, shape, B, T, out_dtype,
+                       train: bool = False):
+        """The column-engine ladder: (x, y)-sparse columns, dense z,
+        z-fused (V_col, nz*C) features throughout (ops/sparse_columns.py).
+
+        Same parameter tree / module names as the site-engines, so
+        converted reference checkpoints are engine-portable."""
+        cfg = self.cfg
+        form = cfg.Z_FORMULATION
+
+        def bmap(cs, grid):
+            return jax.vmap(lambda f, ci, cc, cm, zm: colops.build_column_map(
+                colops.ColumnSet(f, ci, cc, cm, zm), grid))(*cs)
+
+        cap0 = min(cfg.COLUMN_CAPS[0], shape[0] * shape[1])
+        cs = jax.vmap(lambda f, i, m: colops.from_sites(
+            f, i, m, shape, cap0))(feats, ids, mask)
+        geo = bmap(cs, shape[:2])
+        h = SubMConvBNReLU(cfg.BASE_CHANNELS, formulation=form,
+                           name='conv_input')(cs.feats, cs.zmask, geo,
+                                              train=train)
+        cs = cs._replace(feats=h)
+
+        stage_paddings = [(1, 1, 1), (1, 1, 1), (1, 1, 0)]
+        for i, blocks in enumerate(cfg.ENCODER_CHANNELS):
+            for j, ch in enumerate(blocks):
+                last = j == len(blocks) - 1
+                if last and i != len(cfg.ENCODER_CHANNELS) - 1:
+                    cs, shape = ColumnSparseConvBNReLU(
+                        ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
+                        cap=cfg.COLUMN_CAPS[i + 1], formulation=form,
+                        name=f'down{i + 1}')(cs, shape, train=train)
+                    geo = bmap(cs, shape[:2])
+                else:
+                    h = SparseBasicBlock(
+                        ch, formulation=form, name=f'stage{i + 1}_block{j}')(
+                        cs.feats, cs.zmask, geo, train=train)
+                    cs = cs._replace(feats=h)
+
+        cs, shape = ColumnSparseConvBNReLU(
+            cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
+            cap=cfg.COLUMN_CAPS[-1], formulation=form,
+            name='conv_out')(cs, shape, train=train)
+
+        nx, ny, nz = shape
+        dense = jax.vmap(lambda f, ci, cc, cm, zm: colops.to_dense_bev(
+            colops.ColumnSet(f, ci, cc, cm, zm), (nx, ny), nz,
+            cfg.OUTPUT_CHANNELS))(*cs)
+        return dense.reshape(B, T, nx, ny, -1).astype(out_dtype)

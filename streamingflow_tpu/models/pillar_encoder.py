@@ -197,8 +197,12 @@ class PillarBEVEncoder(nn.Module):
                     name='conv_out')(h)
         h = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
                          use_running_average=not train)(h)
-        # keep the caller's compute dtype: a fp32 cast here would promote the
+        # emit the branch compute dtype: a fp32 cast here would promote the
         # LiDAR temporal model AND (via the observation merge) the whole
-        # GRU-ODE/refinement stack to fp32 under mixed-precision runs
-        h = nn.relu(h).astype(points.dtype)
+        # GRU-ODE/refinement stack to fp32 under mixed-precision runs.
+        # COMPUTE_DTYPE='bfloat16' keeps that true with fp32 points (which
+        # must NOT be bf16-cast — voxel binning is precision-sensitive).
+        out_dtype = (jnp.dtype(cfg.COMPUTE_DTYPE)
+                     if cfg.COMPUTE_DTYPE != 'auto' else points.dtype)
+        h = nn.relu(h).astype(out_dtype)
         return h.reshape(B, T, *h.shape[1:])

@@ -1,0 +1,447 @@
+"""Column-sparse execution backend for the sparse 3-D conv engine.
+
+The third (and TPU-natively fastest) spconv engine: sparse over (x, y),
+DENSE over z, with features stored in a z-fused layout
+
+    feats: (V_col, nz * C)   — lane index z*C + c
+
+so the minor dim is a few full 128-lane tiles (656 lanes at stage 1)
+instead of the raw channel count.  This is the z-fused layout designed in
+docs/PERF.md taken to its limit: tile = (1, 1, nz).  It removes both
+failure modes of the earlier engines at flagship scale
+(sparse_shape 1600x1600x41, mmdet3d sparse_encoder.py:11-133):
+
+* the gather engine (ops/sparse.py) pays one NARROW row gather per
+  (site, tap): 27 x 146 k rows x ~21 ns = ~80 ms per conv.  Gathering
+  fused COLUMN rows instead moves 41x the payload per row, and wide-row
+  gathers are bandwidth-bound, not row-bound (measured 2-12 ns/row at
+  64-704 lanes vs 21-26 ns at 16, tools/exp_gather_width.py): the 9-tap
+  column gather costs ~2.6 ms at stage-1 scale.
+* the dense-tile engine (ops/sparse_tiled.py) pads the channel-minor dim
+  to 128 lanes (16x HBM at C=5..32) and burns ~150x FLOPs on empty tile
+  cells (LiDAR data averages ~3.4 sites per 512-cell tile); columns waste
+  only the z-fill factor (~1.4-8x), and nothing on layout.
+
+Semantics are exactly the reference's (mmdet3d/ops/spconv):
+* submanifold conv (SubMConv3d, conv.py:255-426): outputs only at active
+  sites — the per-column z occupancy mask `zmask` IS the active set, and
+  every conv/BN masks by it;
+* strided conv (SparseConv3d, include/spconv/geometry.h:301): outputs at
+  every site whose receptive field touches an input — the output zmask is
+  the tap-dilation of the gathered input zmasks.
+
+The 3x3x3 neighbourhood factorises as 9 in-plane taps x a dense z-axis
+conv.  Two z-conv formulations, selectable per call (both exact, A/B on
+hardware via tools/exp_column_conv.py):
+
+* 'banded': out += taps[k] @ B_k with B_k (nz_in*Cin, nz_out*Cout) banded
+  (3 z-taps per output block).  Zero relayouts — everything stays fused —
+  at (nz_in+...)/3 x FLOP overhead.  Wins where nz is small (late stages).
+* 'conv': transpose the 9 tap stacks to (V, nz, 9*Cin) and run one
+  lax.conv over z (kernel (kz, 9*Cin, Cout)).  Minimal FLOPs; pays the
+  transpose/relayout bandwidth.  Wins where nz is large and C small
+  (early stages).
+
+Capacity: active columns are capped statically (COLUMN_CAPS), mirroring
+MAX_VOXELS/STAGE_CAPS; overflow drops the highest column ids (see
+docs/PARITY.md on static-cap semantics).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse import _candidate_outputs_1d
+from .voxelize import LARGE_ID
+
+
+class ColumnSet(NamedTuple):
+    """Column-sparse tensor of one point cloud.
+
+    feats:      (V_col, nz*C) fused features, lane = z*C + c
+    col_ids:    (V_col,) int32 = x*ny + y, ascending; LARGE_ID pad
+    col_coords: (V_col, 2) int32 (x, y)
+    col_mask:   (V_col,) bool
+    zmask:      (V_col, nz) bool — the exact reference active-site set
+    """
+    feats: jnp.ndarray
+    col_ids: jnp.ndarray
+    col_coords: jnp.ndarray
+    col_mask: jnp.ndarray
+    zmask: jnp.ndarray
+
+
+class ColumnMap(NamedTuple):
+    """9 in-plane neighbour slots per column, x-major (dx, dy) order with
+    the self tap at index 4 — plus the sorted-order shift validities that
+    let the separable conv replace y-neighbour GATHERS with slot +-1
+    SLICES (ids are sorted x-major, so the (0, +1) neighbour of slot s is
+    slot s+1 exactly when ids are consecutive and y+1 stays in the row).
+    Depends only on the active-column geometry: one map serves every
+    submanifold conv of a stage (spconv's cached indice-pair contract,
+    ops.py:45-126)."""
+    nbr: jnp.ndarray     # (9, V_col) int32
+    found: jnp.ndarray   # (9, V_col) bool
+    yup_ok: jnp.ndarray  # (V_col,) bool — slot+1 is my (0, +1) neighbour
+    ydn_ok: jnp.ndarray  # (V_col,) bool — slot-1 is my (0, -1) neighbour
+
+
+def from_sites(feats: jnp.ndarray, ids: jnp.ndarray, mask: jnp.ndarray,
+               shape: Tuple[int, int, int], cap_cols: int) -> ColumnSet:
+    """Compact sorted site rows (V, C) -> ColumnSet.
+
+    `ids` are x-major linearised ids (z minor), ascending — so sites of a
+    column are already contiguous and NO sort is needed: one run-rank
+    cumsum + one scatter."""
+    nx, ny, nz = shape
+    V, C = feats.shape
+    cid = jnp.where(mask, ids // nz, LARGE_ID)
+    z = jnp.where(mask, ids % nz, 0)
+
+    first = jnp.concatenate([jnp.ones((1,), bool), cid[1:] != cid[:-1]]) & mask
+    rank = jnp.cumsum(first) - 1
+    row_ok = mask & (rank < cap_cols)
+    col_ids = jax.ops.segment_min(
+        jnp.where(first & row_ok, cid, LARGE_ID),
+        jnp.clip(jnp.where(first & row_ok, rank, cap_cols), 0, cap_cols - 1),
+        num_segments=cap_cols)
+    col_mask = col_ids < LARGE_ID
+    col_ids = jnp.where(col_mask, col_ids, LARGE_ID).astype(jnp.int32)
+    col_coords = jnp.stack([jnp.where(col_mask, col_ids // ny, 0),
+                            jnp.where(col_mask, col_ids % ny, 0)],
+                           axis=-1).astype(jnp.int32)
+
+    flat = jnp.where(row_ok, rank * nz + z, cap_cols * nz)
+    fz = jnp.zeros((cap_cols * nz + 1, C), feats.dtype).at[flat].set(
+        jnp.where(mask[:, None], feats, 0))
+    zm = jnp.zeros((cap_cols * nz + 1,), bool).at[flat].set(row_ok)
+    return ColumnSet(fz[:cap_cols * nz].reshape(cap_cols, nz * C),
+                     col_ids, col_coords, col_mask,
+                     zm[:cap_cols * nz].reshape(cap_cols, nz))
+
+
+def to_sites(cs: ColumnSet, ids: jnp.ndarray, mask: jnp.ndarray,
+             nz: int, C: int) -> jnp.ndarray:
+    """Read compact (V, C) site rows back out (one gather); `ids` x-major."""
+    cap = cs.col_ids.shape[0]
+    pos = jnp.clip(jnp.searchsorted(cs.col_ids,
+                                    jnp.where(mask, ids // nz, LARGE_ID - 1)),
+                   0, cap - 1)
+    ok = mask & (cs.col_ids[pos] == ids // nz) & cs.col_mask[pos]
+    flat = jnp.where(ok, pos * nz + ids % nz, 0)
+    rows = cs.feats.reshape(cap * nz, C)[flat]
+    return jnp.where(ok[:, None], rows, 0)
+
+
+def dropped_sites(cs: ColumnSet, mask: jnp.ndarray) -> jnp.ndarray:
+    """Active sites lost to the column capacity (scalar; 0 when sized)."""
+    return jnp.sum(mask) - jnp.sum(cs.zmask)
+
+
+# in-plane taps, x-major, self at index 4
+_PLANE_OFFSETS = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+
+def _slot_table(col_ids: jnp.ndarray, col_mask: jnp.ndarray,
+                n_cells: int) -> jnp.ndarray:
+    """Dense (n_cells + 1,) int32 column-slot lookup table; -1 = empty.
+
+    One scatter of V narrow rows.  The 2-D grid is small enough to keep
+    dense even at flagship scale (1600^2 x int32 = 10 MB), and a single
+    table gather replaces per-tap `searchsorted` — whose ~16 serial
+    binary-search gathers per probe measured 37-95 ms per stage map
+    (tools/exp_column_pieces.py) and dominated the whole engine."""
+    tbl = jnp.full((n_cells + 1,), -1, jnp.int32)
+    return tbl.at[jnp.where(col_mask, col_ids, n_cells)].set(
+        jnp.arange(col_ids.shape[0], dtype=jnp.int32))
+
+
+def build_column_map(cs: ColumnSet, grid: Tuple[int, int]) -> ColumnMap:
+    """One dense-table gather over the 8 neighbour ids (+ identity self)."""
+    nx, ny = grid
+    cap = cs.col_ids.shape[0]
+    tbl = _slot_table(cs.col_ids, cs.col_mask, nx * ny)
+    qids, inbs = [], []
+    for dx, dy in _PLANE_OFFSETS:
+        if (dx, dy) == (0, 0):
+            continue
+        ncx = cs.col_coords[:, 0] + dx
+        ncy = cs.col_coords[:, 1] + dy
+        inb = ((ncx >= 0) & (ncx < nx) & (ncy >= 0) & (ncy < ny)
+               & cs.col_mask)
+        qids.append(jnp.where(inb, ncx * ny + ncy, 0))
+        inbs.append(inb)
+    pos = tbl[jnp.stack(qids)]                       # (8, cap) one gather
+    found8 = jnp.stack(inbs) & (pos >= 0)
+    pos = jnp.where(found8, pos, 0).astype(jnp.int32)
+    self_slot = jnp.arange(cap, dtype=jnp.int32)
+    nbr = jnp.concatenate([pos[:4], self_slot[None], pos[4:]])
+    found = jnp.concatenate([found8[:4], cs.col_mask[None], found8[4:]])
+
+    consec = cs.col_ids[1:] == cs.col_ids[:-1] + 1
+    pair_ok = consec & cs.col_mask[:-1] & cs.col_mask[1:]
+    yup_ok = jnp.concatenate([
+        pair_ok & (cs.col_coords[:-1, 1] + 1 < ny), jnp.zeros((1,), bool)])
+    ydn_ok = jnp.concatenate([
+        jnp.zeros((1,), bool), pair_ok & (cs.col_coords[1:, 1] > 0)])
+    return ColumnMap(nbr, found, yup_ok, ydn_ok)
+
+
+def _gather_taps(feats: jnp.ndarray, nbr: jnp.ndarray,
+                 found: jnp.ndarray) -> jnp.ndarray:
+    """(T, V_col) slots -> (T, V_col, nz*C) tap stacks (ONE wide gather)."""
+    g = feats[nbr]
+    return jnp.where(found[:, :, None], g, 0)
+
+
+def _banded_matrix(w_taps: jnp.ndarray, nz_in: int, nz_out: int,
+                   kz: int, sz: int, pz: int) -> jnp.ndarray:
+    """(kz, Cin, Cout) z-tap weights -> (nz_in*Cin, nz_out*Cout) band.
+
+    B[zi*Cin + i, zo*Cout + j] = w_taps[tz, i, j] where zi = zo*sz - pz + tz.
+    Indices are static; built per conv at trace time (tiny)."""
+    kz_, cin, cout = w_taps.shape
+    assert kz_ == kz
+    rows, cols, taps = [], [], []
+    for zo in range(nz_out):
+        for tz in range(kz):
+            zi = zo * sz - pz + tz
+            if 0 <= zi < nz_in:
+                rows.append(zi)
+                cols.append(zo)
+                taps.append(tz)
+    B = jnp.zeros((nz_in, cin, nz_out, cout), w_taps.dtype)
+    B = B.at[np.asarray(rows), :, np.asarray(cols), :].set(
+        w_taps[np.asarray(taps)])
+    return B.reshape(nz_in * cin, nz_out * cout)
+
+
+def _zconv_banded(taps, w, nz_in, nz_out, kz, sz, pz):
+    """taps (T, V, nz_in*Cin), w (T*kz, Cin, Cout) -> (V, nz_out*Cout).
+
+    T accumulating fused matmuls; no relayout anywhere."""
+    T = taps.shape[0]
+    cin, cout = w.shape[1], w.shape[2]
+    dt = taps.dtype
+    out = None
+    for k in range(T):
+        B = _banded_matrix(w[k * kz:(k + 1) * kz], nz_in, nz_out,
+                           kz, sz, pz).astype(dt)
+        acc = jnp.dot(taps[k], B, preferred_element_type=dt)
+        out = acc if out is None else out + acc
+    return out
+
+
+def _zconv_conv(taps, w, nz_in, nz_out, kz, sz, pz):
+    """taps (T, V, nz_in*Cin), w (T*kz, Cin, Cout) -> (V, nz_out*Cout).
+
+    One lax.conv over the dense z axis with the T in-plane taps as input
+    channel groups; minimal FLOPs, pays one (T,V,nz,Cin)->(V,nz,T*Cin)
+    relayout each way."""
+    T, V = taps.shape[0], taps.shape[1]
+    cin, cout = w.shape[1], w.shape[2]
+    g = taps.reshape(T, V, nz_in, cin)
+    g = jnp.transpose(g, (1, 2, 0, 3)).reshape(V, nz_in, T * cin)
+    kern = w.reshape(T, kz, cin, cout).transpose(1, 0, 2, 3).reshape(
+        kz, T * cin, cout).astype(taps.dtype)
+    out = jax.lax.conv_general_dilated(
+        g, kern, window_strides=(sz,), padding=[(pz, pz)],
+        dimension_numbers=('NWC', 'WIO', 'NWC'),
+        preferred_element_type=taps.dtype)
+    assert out.shape[1] == nz_out, (out.shape, nz_out)
+    return out.reshape(V, nz_out * cout)
+
+
+_ZCONV = {'banded': _zconv_banded, 'conv': _zconv_conv}
+
+
+def _mask_fused(x: jnp.ndarray, zmask: jnp.ndarray) -> jnp.ndarray:
+    """Zero inactive cells of a fused (V, nz*C) tensor (zmask (V, nz))."""
+    c = x.shape[-1] // zmask.shape[-1]
+    return jnp.where(jnp.repeat(zmask, c, axis=-1), x, 0)
+
+
+def _subm_separable(feats, cmap: ColumnMap, weights, nz):
+    """3x3x3 subm conv with the 3 dx=0 taps as sorted-order SLICES and the
+    6 dx=+-1 taps as direct row gathers.
+
+    Sorted ids make the (0, +-1) neighbours slot +-1 (validity in the
+    map), so the y-center column never gathers — 6 random gathers per
+    conv instead of 8, each at an exact per-tap slot from the map (a
+    two-pass y-aggregate would be cheaper still, but loses corner
+    contributions whenever the face column between v and a diagonal
+    neighbour is unoccupied — the same hazard ops/sparse_tiled.py
+    documents for staged halo exchanges)."""
+    dt = feats.dtype
+    zrow = jnp.zeros((1, feats.shape[-1]), dt)
+    g_dy0 = {
+        -1: jnp.concatenate([zrow, feats[:-1]])
+            * cmap.ydn_ok[:, None].astype(dt),
+        0: feats,
+        1: jnp.concatenate([feats[1:], zrow])
+           * cmap.yup_ok[:, None].astype(dt),
+    }
+
+    def band(k):
+        return _banded_matrix(weights[k * 3:(k + 1) * 3], nz, nz,
+                              3, 1, 1).astype(dt)
+
+    out = None
+    for dy in (-1, 0, 1):
+        acc = jnp.dot(g_dy0[dy], band(3 + (dy + 1)),
+                      preferred_element_type=dt)
+        out = acc if out is None else out + acc
+    side = jnp.stack([cmap.nbr[k] for k in (0, 1, 2, 6, 7, 8)])
+    side_found = jnp.stack([cmap.found[k] for k in (0, 1, 2, 6, 7, 8)])
+    g6 = jnp.where(side_found[:, :, None], feats[side], 0)
+    for i, k in enumerate((0, 1, 2, 6, 7, 8)):
+        out = out + jnp.dot(g6[i], band(k), preferred_element_type=dt)
+    return out
+
+
+def subm_conv_columns(feats: jnp.ndarray, zmask: jnp.ndarray,
+                      cmap: ColumnMap, weights: jnp.ndarray,
+                      bias=None, formulation: str = 'sep') -> jnp.ndarray:
+    """Submanifold 3x3x3 conv over fused columns.
+
+    feats (V, nz*Cin), weights (27, Cin, Cout) x-major taps (matching
+    ops/sparse.py::_kernel_offsets) -> (V, nz*Cout), outputs only at
+    active sites (SubMConv3d semantics).  Formulations: 'sep' (separable,
+    2 gathers — default), 'banded' (9-tap gather + fused matmuls),
+    'conv' (9-tap gather + lax.conv over z)."""
+    assert weights.shape[0] == 27, 'column subm path is specialised to 3x3x3'
+    nz = zmask.shape[-1]
+    if formulation == 'sep':
+        out = _subm_separable(feats, cmap, weights, nz)
+    else:
+        taps = _gather_taps(feats, cmap.nbr, cmap.found)
+        out = _ZCONV[formulation](taps, weights, nz, nz, 3, 1, 1)
+    if bias is not None:
+        out = out + jnp.tile(bias, nz).astype(out.dtype)
+    return _mask_fused(out, zmask)
+
+
+def gen_output_columns(cs: ColumnSet, zmask_touches: jnp.ndarray,
+                       kernel2: Tuple[int, int], stride2: Tuple[int, int],
+                       pad2: Tuple[int, int], out_grid: Tuple[int, int],
+                       cap: int):
+    """Active output columns of a strided conv (2-D analogue of
+    ops/sparse.py::generate_output_sites).
+
+    ``zmask_touches``: (V,) bool — whether the column holds any active z
+    that maps onto a valid output z (so output columns exactly cover the
+    reference per-SITE active-output rule, geometry.h:301).
+    Returns (out_ids, out_coords, out_mask) with ids ascending."""
+    cx, vx, _ = _candidate_outputs_1d(cs.col_coords[:, 0], kernel2[0],
+                                      stride2[0], pad2[0], out_grid[0])
+    cy, vy, _ = _candidate_outputs_1d(cs.col_coords[:, 1], kernel2[1],
+                                      stride2[1], pad2[1], out_grid[1])
+    ox = cx[:, :, None]
+    oy = cy[:, None, :]
+    val = (vx[:, :, None] & vy[:, None, :]
+           & (cs.col_mask & zmask_touches)[:, None, None])
+    cand = jnp.where(val, ox * out_grid[1] + oy, LARGE_ID).reshape(-1)
+    ids_s = jax.lax.sort(cand)
+    first = (jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+             & (ids_s < LARGE_ID))
+    rank = jnp.cumsum(first) - 1
+    keep = first & (rank < cap)
+    out_ids = jax.ops.segment_min(jnp.where(keep, ids_s, LARGE_ID),
+                                  jnp.clip(jnp.where(keep, rank, cap),
+                                           0, cap - 1),
+                                  num_segments=cap)
+    out_mask = out_ids < LARGE_ID
+    out_ids = jnp.where(out_mask, out_ids, LARGE_ID).astype(jnp.int32)
+    out_coords = jnp.stack(
+        [jnp.where(out_mask, out_ids // out_grid[1], 0),
+         jnp.where(out_mask, out_ids % out_grid[1], 0)], -1).astype(jnp.int32)
+    return out_ids, out_coords, out_mask
+
+
+def _z_touches_valid(nz_in: int, nz_out: int, kz: int, sz: int,
+                     pz: int) -> np.ndarray:
+    """Static (nz_in,) bool: input z contributes to some valid output z."""
+    touch = np.zeros((nz_in,), bool)
+    for zo in range(nz_out):
+        for tz in range(kz):
+            zi = zo * sz - pz + tz
+            if 0 <= zi < nz_in:
+                touch[zi] = True
+    return touch
+
+
+def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
+                        kernel: Tuple[int, int, int],
+                        stride: Tuple[int, int, int],
+                        padding: Tuple[int, int, int],
+                        shape: Tuple[int, int, int], cap: int,
+                        bias=None,
+                        formulation: str = 'banded'
+                        ) -> Tuple[ColumnSet, Tuple[int, int, int]]:
+    """Strided ("native") sparse conv: new active columns + dilated zmask.
+
+    weights (prod(kernel), Cin, Cout), x-major taps.  Matches SparseConv3d
+    active-site semantics exactly: output site active iff any input site
+    touches it; values include every contributing tap."""
+    nx, ny, nz = shape
+    kz, sz, pz = kernel[2], stride[2], padding[2]
+    if formulation == 'sep':
+        formulation = 'banded'   # strided convs always tap-gather
+    out_shape = tuple((shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
+                      for d in range(3))
+    nz_out = out_shape[2]
+
+    ztv = jnp.asarray(_z_touches_valid(nz, nz_out, kz, sz, pz))
+    touches = jnp.any(cs.zmask & ztv[None, :], axis=-1)
+    out_ids, out_coords, out_mask = gen_output_columns(
+        cs, touches, kernel[:2], stride[:2], padding[:2], out_shape[:2], cap)
+
+    # per-(in-plane tap) contributing input column of every output column
+    # — one dense-table gather (see _slot_table)
+    tbl = _slot_table(cs.col_ids, cs.col_mask, nx * ny)
+    qids, inbs = [], []
+    for tx in range(kernel[0]):
+        for ty in range(kernel[1]):
+            ix = out_coords[:, 0] * stride[0] - padding[0] + tx
+            iy = out_coords[:, 1] * stride[1] - padding[1] + ty
+            inb = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & out_mask)
+            qids.append(jnp.where(inb, ix * ny + iy, 0))
+            inbs.append(inb)
+    pos = tbl[jnp.stack(qids)]
+    found = jnp.stack(inbs) & (pos >= 0)
+    nbr = jnp.where(found, pos, 0).astype(jnp.int32)
+
+    taps = _gather_taps(cs.feats, nbr, found)
+    out = _ZCONV[formulation](taps, weights, nz, nz_out, kz, sz, pz)
+
+    # dilated output zmask: OR of every contributing input cell
+    zm_in = jnp.where(found[:, :, None], cs.zmask[nbr], False)
+    zm_pad = jnp.pad(zm_in, ((0, 0), (0, 0), (pz, pz + kz)))
+    zm_out = jnp.zeros((out_mask.shape[0], nz_out), bool)
+    for tz in range(kz):
+        sl = zm_pad[:, :, tz:tz + (nz_out - 1) * sz + 1:sz]
+        zm_out = zm_out | jnp.any(sl, axis=0)
+    zm_out = zm_out & out_mask[:, None]
+
+    if bias is not None:
+        out = out + jnp.tile(bias, nz_out).astype(out.dtype)
+    out = _mask_fused(out, zm_out)
+    return (ColumnSet(out, out_ids, out_coords, out_mask, zm_out),
+            out_shape)
+
+
+def to_dense_bev(cs: ColumnSet, grid: Tuple[int, int], nz: int,
+                 C: int) -> jnp.ndarray:
+    """Scatter columns to a dense (nx, ny, nz*C) grid with the reference
+    channel order c*nz + z (SparseConvTensor.dense + the view at
+    sparse_encoder.py:126-133)."""
+    nx, ny = grid
+    flat_idx = jnp.where(cs.col_mask, cs.col_ids, nx * ny)
+    dense = jnp.zeros((nx * ny + 1, cs.feats.shape[-1]), cs.feats.dtype)
+    dense = dense.at[flat_idx].add(
+        jnp.where(cs.col_mask[:, None], cs.feats, 0))
+    dense = dense[:nx * ny].reshape(nx, ny, nz, C)
+    return jnp.swapaxes(dense, -1, -2).reshape(nx, ny, C * nz)

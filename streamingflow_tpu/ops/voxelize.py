@@ -50,12 +50,23 @@ def delinearize(ids: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
 
 def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray,
              point_cloud_range, voxel_size, max_points: int,
-             max_voxels: int) -> VoxelSet:
+             max_voxels: int, out_dtype=None) -> VoxelSet:
     """points: (P, C>=3) with xyz leading; point_mask: (P,) valid points.
 
     Returns a VoxelSet with `max_voxels` capacity.  Matches the reference
     hard voxelizer + ``voxelize_reduce`` mean (streamingflow.py:170-200):
     at most `max_points` points (first in point order) contribute per voxel.
+
+    ``out_dtype`` sets the voxel-feature dtype (default: the points dtype).
+    Mixed-precision callers MUST pass fp32 points with
+    ``out_dtype=bfloat16`` rather than bf16 points: voxel quantisation is
+    precision-sensitive (at flagship range |x|~54 m and 0.075 m voxels the
+    bf16 ulp of 0.125-0.25 m exceeds the voxel size, mis-binning points by
+    whole voxels), while the *features* can safely be bf16 — the mean is
+    accumulated in fp32 either way, mirroring the reference's
+    ``@force_fp32`` voxelize guard (streamingflow.py:171).  Output-dtype
+    deviation from the reference (which always returns fp32 features) is
+    documented in docs/PARITY.md.
 
     Documented deviation: when a cloud exceeds `max_voxels`, the reference
     CUDA hard voxelizer keeps voxels in first-encounter (point-order)
@@ -99,16 +110,17 @@ def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray,
 
     slot = jnp.where(keep, run_rank, max_voxels)
     # per-voxel mean in fp32 regardless of input dtype (the reference
-    # @force_fp32-guards voxelize, streamingflow.py:171), then back to the
-    # caller's dtype: a bf16 caller must get bf16 voxel features out, or
-    # the whole sparse ladder silently promotes to fp32 (2x tile HBM).
+    # @force_fp32-guards voxelize, streamingflow.py:171), then to
+    # `out_dtype`: a mixed-precision caller must get bf16 voxel features
+    # out (or the whole sparse ladder silently promotes to fp32, 2x HBM)
+    # while keeping its POINTS fp32 for exact binning.
     feats_sum = jax.ops.segment_sum(
         jnp.where(keep[:, None], pts_s.astype(jnp.float32), 0.0), slot,
         num_segments=max_voxels + 1)[:max_voxels]
     counts = jax.ops.segment_sum(keep.astype(jnp.float32), slot,
                                  num_segments=max_voxels + 1)[:max_voxels]
     feats = (feats_sum / jnp.maximum(counts[:, None], 1.0)).astype(
-        points.dtype)
+        out_dtype if out_dtype is not None else points.dtype)
 
     slot_ids = jax.ops.segment_min(
         jnp.where(first & (run_rank < max_voxels), ids_s, LARGE_ID),

@@ -33,6 +33,20 @@ class MetricsLogger:
             self._tb = SummaryWriter(log_dir)
         except Exception:
             self._jsonl = open(os.path.join(log_dir, 'events.jsonl'), 'a')
+        # tensorboard's add_video needs moviepy; say so ONCE at startup
+        # instead of letting every video call print a per-call warning
+        if self._tb is not None:
+            try:
+                import moviepy  # noqa: F401
+            except ImportError:
+                print('streamingflow: moviepy not installed — BEV videos '
+                      'will be saved as .npz next to the event log instead '
+                      'of TensorBoard video summaries', flush=True)
+                self._video_fallback = True
+            else:
+                self._video_fallback = False
+        else:
+            self._video_fallback = True
 
     def scalar(self, tag: str, value, step: int):
         value = float(value)
@@ -52,11 +66,11 @@ class MetricsLogger:
 
     def video(self, tag: str, frames: np.ndarray, step: int, fps: int = 2):
         """frames: (T, H, W, 3) uint8 (utils/visualisation.visualise_output)."""
-        if self._tb is not None:
+        if self._tb is not None and not self._video_fallback:
             import torch
             vid = torch.from_numpy(frames[None]).permute(0, 1, 4, 2, 3)
             self._tb.add_video(tag, vid, step, fps=fps)
-        # JSONL fallback: store to npz next to the event log
+        # npz fallback next to the event log (no tensorboard, or no moviepy)
         else:
             np.savez_compressed(
                 os.path.join(self.log_dir, f'{tag.replace("/", "_")}'

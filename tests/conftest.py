@@ -2,6 +2,12 @@
 
 Sharding/pjit paths are validated without TPU hardware; the real chip is only
 used by bench.py and the driver's compile checks.
+
+Tiers:
+  SF_FAST_TESTS=1   skip the two multi-minute compile-bound tests
+                    (planning train step, engine-gradient agreement)
+  SF_HEAVY_TESTS=1  additionally run the full-model spconv8x multichip
+                    proof (tests/test_multichip.py)
 """
 import os
 

@@ -1,4 +1,6 @@
 """Planning head + cost library tests (reference cost.py / planning_model.py)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,6 +161,9 @@ def test_planning_module_forward(planning_cfg):
     assert float(loss0) == 0.0 and traj0.shape == (B, T, 3)
 
 
+@pytest.mark.skipif(os.environ.get('SF_FAST_TESTS') == '1',
+                    reason='slow tier (~6 min compile); run without '
+                           'SF_FAST_TESTS for the full suite')
 def test_train_step_with_planning(planning_cfg):
     """End-to-end: planning loss joins the uncertainty-weighted total."""
     import jax

@@ -321,6 +321,65 @@ def test_instance_postprocessing_matches_reference(torch_side):
                                   ref_np.squeeze())
 
 
+def test_short_interval_postprocessing_matches_reference(torch_side):
+    """utils/instance.py:432-461 + the _short_interval matcher :272-368 —
+    the variant streaming eval uses unconditionally: no flow warping,
+    10 px threshold.  Two-blob scenario with an id-switch-inducing jump:
+    blob A drifts 1 px/frame (must keep its id), blob B jumps 12 px at
+    t=2 (beyond threshold: must get a NEW id)."""
+    torch = torch_side
+    from streamingflow.utils import instance as RI
+
+    from streamingflow_tpu.postprocess import (
+        predict_instance_segmentation_and_trajectories)
+
+    B, T, H, W = 1, 4, 32, 32
+    seg_logit = np.zeros((B, T, 2, H, W), np.float32)
+    seg_logit[:, :, 0] = 3.0
+    centers = np.zeros((B, T, 1, H, W), np.float32)
+    offset = np.zeros((B, T, 2, H, W), np.float32)
+    blob_b_rows = [20, 20, 8, 8]          # 12-px jump at t=2
+    for t in range(T):
+        for (r0, c0) in ((5 + t, 5), (blob_b_rows[t], 22)):
+            seg_logit[:, t, 1, r0 - 2:r0 + 3, c0 - 2:c0 + 3] = 6.0
+            seg_logit[:, t, 0, r0 - 2:r0 + 3, c0 - 2:c0 + 3] = -6.0
+            yy, xx = np.mgrid[0:H, 0:W]
+            g = np.exp(-((yy - r0) ** 2 + (xx - c0) ** 2) / 4.0)
+            centers[:, t, 0] = np.maximum(centers[:, t, 0], g)
+            m = g > 0.3
+            offset[0, t, 0][m] = (r0 - yy)[m]
+            offset[0, t, 1][m] = (c0 - xx)[m]
+    flow = np.zeros((B, T, 2, H, W), np.float32)
+    output_t = {
+        'segmentation': torch.from_numpy(seg_logit),
+        'instance_center': torch.from_numpy(centers),
+        'instance_offset': torch.from_numpy(offset),
+        'instance_flow': torch.from_numpy(flow),
+    }
+    ref_seg = RI.predict_instance_segmentation_and_trajectories_short_interval(
+        output_t, compute_matched_centers=False)
+    ref_np = ref_seg.numpy().squeeze()
+
+    out_np = {
+        'segmentation': np.moveaxis(seg_logit, 2, -1),
+        'instance_center': np.moveaxis(centers, 2, -1),
+        'instance_offset': np.moveaxis(offset, 2, -1),
+        'instance_flow': np.moveaxis(flow, 2, -1),
+    }
+    mine = np.asarray(predict_instance_segmentation_and_trajectories(
+        out_np, short_interval=True)).squeeze()
+    np.testing.assert_array_equal(mine, ref_np)
+
+    # scenario sanity: blob A keeps one id across all frames; blob B's id
+    # after the jump differs from before it
+    def blob_id(t, r0, c0):
+        return ref_np[t, r0, c0]
+    a_ids = {blob_id(t, 5 + t, 5) for t in range(T)}
+    assert len(a_ids) == 1 and 0 not in a_ids
+    assert blob_id(2, 8, 22) != blob_id(1, 20, 22)
+    assert blob_id(1, 20, 22) == blob_id(0, 20, 22)
+
+
 def _deterministic_rsample(torch):
     def rsample_mean(raw_params, scale_stddev=1, **kw):
         dim = 2 if raw_params.dim() == 5 else 1
@@ -441,9 +500,12 @@ def test_decoder_matches_reference(torch_side):
             err_msg=k)
 
 
-def test_encoder_matches_reference(torch_side):
-    """Camera encoder (encoder.py:10-127): EfficientNet-b0 trunk incl. the
-    ds-8 truncation rule, DeepLabHead + UpsamplingConcat necks, depth head."""
+@pytest.mark.parametrize('backbone', ['efficientnet-b0', 'efficientnet-b4'])
+def test_encoder_matches_reference(torch_side, backbone):
+    """Camera encoder (encoder.py:10-127): EfficientNet trunk incl. the
+    ds-8 truncation rule (b4 cuts at block 21, encoder.py:44-62),
+    DeepLabHead + UpsamplingConcat necks, depth head.  b4 is the flagship
+    backbone — run at tiny spatial dims, drop-connect off in eval."""
     torch = torch_side
     import jax
     import jax.numpy as jnp
@@ -455,12 +517,12 @@ def test_encoder_matches_reference(torch_side):
     torch.manual_seed(2)
     cfg_t = ref_shims.ref_flagship_cfg()
     enc_cfg = cfg_t.MODEL.ENCODER
-    enc_cfg.NAME = 'efficientnet-b0'
+    enc_cfg.NAME = backbone
     enc_cfg.OUT_CHANNELS = 16
     D = 8
     ref = RefEncoder(cfg=enc_cfg, D=D).eval()
     mine = Encoder(out_channels=16, depth_channels=D,
-                   backbone_name='efficientnet-b0', downsample=8,
+                   backbone_name=backbone, downsample=8,
                    use_depth_distribution=True)
 
     rng = np.random.RandomState(13)

@@ -57,6 +57,31 @@ class TestVoxelize:
         ids = np.asarray(v.ids)
         assert (np.diff(ids.astype(np.int64)) >= 0).all()
 
+    def test_out_dtype_bf16_with_fp32_points(self):
+        """Mixed-precision contract: fp32 points (exact binning) in, bf16
+        features out, with the mean still accumulated in fp32."""
+        pts = rand_cloud(seed=7)
+        mask = jnp.asarray(np.ones(len(pts), bool))
+        ref = voxelize(jnp.asarray(pts), mask, RANGE, VSIZE,
+                       max_points=10, max_voxels=128)
+        v16 = voxelize(jnp.asarray(pts), mask, RANGE, VSIZE,
+                       max_points=10, max_voxels=128,
+                       out_dtype=jnp.bfloat16)
+        assert v16.feats.dtype == jnp.bfloat16
+        # identical binning (coords/ids/mask computed from fp32 points)
+        np.testing.assert_array_equal(np.asarray(v16.ids), np.asarray(ref.ids))
+        # features match the fp32-computed mean to bf16 resolution
+        np.testing.assert_allclose(
+            np.asarray(v16.feats, np.float32), np.asarray(ref.feats),
+            rtol=8e-3, atol=8e-3)
+
+    def test_out_dtype_default_follows_points(self):
+        pts = rand_cloud(seed=9)
+        mask = jnp.asarray(np.ones(len(pts), bool))
+        v = voxelize(jnp.asarray(pts), mask, RANGE, VSIZE,
+                     max_points=10, max_voxels=128)
+        assert v.feats.dtype == jnp.float32
+
 
 def sparse_from_dense(dense_mask, feats_fn, shape, cap=256):
     """Build a SparseTensor from a dense boolean occupancy + feature fn."""

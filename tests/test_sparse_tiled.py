@@ -3,6 +3,8 @@
 The tiled backend (ops/sparse_tiled.py) must reproduce the gather
 engine's submanifold-conv semantics bit-for-bit up to summation order:
 same active sites, contributions only from active sites."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -190,8 +192,9 @@ def test_strided_conv_matches_gather_engine(kernel, stride, padding, tile):
 
 
 def test_lidar_encoder_engines_agree():
-    """Full spconv8x encoder: tiled engine == gather engine (same params,
-    train and eval paths), including the stage-resident BN statistics."""
+    """Full spconv8x encoder: tiled and column engines == gather engine
+    (same params, train and eval paths), including the stage-resident BN
+    statistics."""
     from streamingflow_tpu.data import make_batch, tiny_config
     from streamingflow_tpu.models.lidar_encoder import LidarBEVEncoder
 
@@ -201,7 +204,7 @@ def test_lidar_encoder_engines_agree():
     pts = jnp.asarray(batch['points'])[:, :2]  # (B, T=2, P, 5)
 
     outs, stats = {}, {}
-    for engine in ('gather', 'tiled'):
+    for engine in ('gather', 'tiled', 'column'):
         cfg.MODEL.SPARSE_ENCODER.ENGINE = engine
         enc = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
         v = enc.init({'params': jax.random.PRNGKey(0)}, pts)
@@ -214,16 +217,20 @@ def test_lidar_encoder_engines_agree():
     # ~2e-3 absolute.  A real site-mapping bug corrupts whole C-channel
     # rows at O(0.1-1), so bound the max tightly enough to exclude that
     # and require the bulk to be numerically identical.
-    d = np.abs(np.asarray(outs['tiled']) - np.asarray(outs['gather']))
-    assert d.max() < 5e-3, d.max()
-    assert (d > 1e-3).mean() < 1e-3, (d > 1e-3).mean()
-    s_t = jax.tree.leaves(stats['tiled'])
-    s_g = jax.tree.leaves(stats['gather'])
-    for a, b in zip(s_t, s_g):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
+    for engine in ('tiled', 'column'):
+        d = np.abs(np.asarray(outs[engine]) - np.asarray(outs['gather']))
+        assert d.max() < 5e-3, (engine, d.max())
+        assert (d > 1e-3).mean() < 1e-3, (engine, (d > 1e-3).mean())
+        s_t = jax.tree.leaves(stats[engine])
+        s_g = jax.tree.leaves(stats['gather'])
+        for a, b in zip(s_t, s_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.skipif(os.environ.get('SF_FAST_TESTS') == '1',
+                    reason='slow tier (~5 min compile); run without '
+                           'SF_FAST_TESTS for the full suite')
 def test_engine_gradients_agree():
     """Training correctness: param gradients through the tiled encoder
     match the gather engine (scatter/gather/concat transposes compose
@@ -237,7 +244,7 @@ def test_engine_gradients_agree():
     pts = jnp.asarray(batch['points'])[:, :1]
 
     grads = {}
-    for engine in ('gather', 'tiled'):
+    for engine in ('gather', 'tiled', 'column'):
         cfg.MODEL.SPARSE_ENCODER.ENGINE = engine
         enc = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
         v = enc.init({'params': jax.random.PRNGKey(0)}, pts)
@@ -248,12 +255,13 @@ def test_engine_gradients_agree():
             return jnp.sum(out * out)
 
         grads[engine] = jax.jit(jax.grad(loss))(v['params'])
-    leaves_t = jax.tree.leaves(grads['tiled'])
-    leaves_g = jax.tree.leaves(grads['gather'])
-    for a, b in zip(leaves_t, leaves_g):
-        d = float(jnp.abs(a - b).max())
-        n = float(jnp.abs(b).max()) + 1e-6
-        assert d <= 2e-3 * n + 2e-4, (d, n)
+    for engine in ('tiled', 'column'):
+        leaves_t = jax.tree.leaves(grads[engine])
+        leaves_g = jax.tree.leaves(grads['gather'])
+        for a, b in zip(leaves_t, leaves_g):
+            d = float(jnp.abs(a - b).max())
+            n = float(jnp.abs(b).max()) + 1e-6
+            assert d <= 2e-3 * n + 2e-4, (engine, d, n)
 
 
 def test_batched_vmap_matches_per_cloud():

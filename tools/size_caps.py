@@ -30,7 +30,7 @@ import numpy as np
 
 
 def stage_occupancy(points, cfg):
-    """Per-stage (active sites, occupied tiles) for one cloud."""
+    """Per-stage (active sites, occupied tiles, active columns) per cloud."""
     from streamingflow_tpu.ops import sparse as S
     from streamingflow_tpu.ops import sparse_tiled as ST
     from streamingflow_tpu.ops.voxelize import LARGE_ID, linearize, voxelize
@@ -53,7 +53,9 @@ def stage_occupancy(points, cfg):
         tmap = ST.build_tile_map(st.coords, st.ids, st.mask, st.shape,
                                  cap_tiles=min(se.TILE_CAPS[stage] * 4,
                                                1 << 20), tile=tile)
-        rows.append((int(st.mask.sum()), int(tmap.tile_mask.sum())))
+        n_cols = int(len(np.unique(
+            np.asarray(st.ids)[np.asarray(st.mask)] // st.shape[2])))
+        rows.append((int(st.mask.sum()), int(tmap.tile_mask.sum()), n_cols))
         if stage < 3:
             k, s, p = stage_params[stage]
             out_shape = tuple(
@@ -101,16 +103,20 @@ def main():
     for c in clouds:
         rows = stage_occupancy(c, cfg)
         worst = rows if worst is None else [
-            (max(a[0], b[0]), max(a[1], b[1])) for a, b in zip(worst, rows)]
+            tuple(max(x, y) for x, y in zip(a, b))
+            for a, b in zip(worst, rows)]
 
     print(f'{len(clouds)} clouds, worst-case occupancy:')
     print(f'{"stage":>6} {"sites":>9} {"site cap":>9} {"fill":>6}   '
-          f'{"tiles":>7} {"tile cap":>9} {"fill":>6}')
-    for i, (v, t) in enumerate(worst):
+          f'{"tiles":>7} {"tile cap":>9} {"fill":>6}   '
+          f'{"cols":>7} {"col cap":>9} {"fill":>6}')
+    for i, (v, t, c) in enumerate(worst):
         vc, tc = se.STAGE_CAPS[i], se.TILE_CAPS[i]
-        flag = '  OVERFLOW' if (v > vc or t > tc) else ''
+        cc = se.COLUMN_CAPS[i]
+        flag = '  OVERFLOW' if (v > vc or t > tc or c > cc) else ''
         print(f'{i + 1:>6} {v:>9} {vc:>9} {v / vc:>6.0%}   '
-              f'{t:>7} {tc:>9} {t / tc:>6.0%}{flag}')
+              f'{t:>7} {tc:>9} {t / tc:>6.0%}   '
+              f'{c:>7} {cc:>9} {c / cc:>6.0%}{flag}')
 
 
 if __name__ == '__main__':
