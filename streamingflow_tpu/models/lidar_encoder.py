@@ -396,14 +396,28 @@ class LidarBEVEncoder(nn.Module):
         converted reference checkpoints are engine-portable."""
         cfg = self.cfg
         form = cfg.Z_FORMULATION
+        # perf-bisect knob: run only the first K pieces of the ladder
+        # (0=entry, 1=conv_input+stage1, 2..4=through down_k+stage_{k+1},
+        # 9=everything).  Debug/profiling only (tools/profile_column.py).
+        import os as _os
+        trunc = int(_os.environ.get('SF_COLUMN_TRUNC', '9'))
 
         def bmap(cs, grid):
             return jax.vmap(lambda f, ci, cc, cm, zm: colops.build_column_map(
                 colops.ColumnSet(f, ci, cc, cm, zm), grid))(*cs)
 
+        def early_out(cs, shape):
+            nx, ny, nz = shape
+            c = cs.feats.shape[-1] // nz
+            dense = jax.vmap(lambda f, ci, cc, cm, zm: colops.to_dense_bev(
+                colops.ColumnSet(f, ci, cc, cm, zm), (nx, ny), nz, c))(*cs)
+            return dense.reshape(B, T, nx, ny, -1).astype(out_dtype)
+
         cap0 = min(cfg.COLUMN_CAPS[0], shape[0] * shape[1])
         cs = jax.vmap(lambda f, i, m: colops.from_sites(
             f, i, m, shape, cap0))(feats, ids, mask)
+        if trunc < 1:
+            return early_out(cs, shape)
         geo = bmap(cs, shape[:2])
         h = SubMConvBNReLU(cfg.BASE_CHANNELS, formulation=form,
                            name='conv_input')(cs.feats, cs.zmask, geo,
@@ -415,6 +429,8 @@ class LidarBEVEncoder(nn.Module):
             for j, ch in enumerate(blocks):
                 last = j == len(blocks) - 1
                 if last and i != len(cfg.ENCODER_CHANNELS) - 1:
+                    if trunc < i + 2:
+                        return early_out(cs, shape)
                     cs, shape = ColumnSparseConvBNReLU(
                         ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
                         cap=cfg.COLUMN_CAPS[i + 1], formulation=form,
@@ -426,6 +442,8 @@ class LidarBEVEncoder(nn.Module):
                         cs.feats, cs.zmask, geo, train=train)
                     cs = cs._replace(feats=h)
 
+        if trunc < 5:
+            return early_out(cs, shape)
         cs, shape = ColumnSparseConvBNReLU(
             cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
             cap=cfg.COLUMN_CAPS[-1], formulation=form,

@@ -779,8 +779,24 @@ def load_ref_streamingflow():
         def __init__(self, *a, **k):
             super().__init__()
 
+    def _bev_pool_torch(feats, coords, B, D, H, W):
+        """Pure-torch stand-in for the bev_pool CUDA extension: scatter-add
+        into (B, D, H, W, C) -> permute to (B, C, D, H, W).  Matches the
+        kernel's output indexing out[b, z, x, y, c]
+        (mmdet3d/ops/bev_pool/src/bev_pool_cuda.cu:20-42) and the wrapper's
+        final permute (bev_pool.py:83-99); a scatter-add equals the sorted
+        interval sum up to fp reassociation."""
+        import torch
+        coords = coords.long()
+        idx = ((coords[:, 3] * D + coords[:, 2]) * H + coords[:, 0]) * W \
+            + coords[:, 1]
+        out = feats.new_zeros(B * D * H * W, feats.shape[1])
+        out.index_add_(0, idx, feats)
+        out = out.view(B, D, H, W, feats.shape[1])
+        return out.permute(0, 4, 1, 2, 3).contiguous()
+
     if not hasattr(ops_pkg, 'Voxelization'):
-        ops_pkg.bev_pool = None
+        ops_pkg.bev_pool = _bev_pool_torch
         ops_pkg.Voxelization = _ParamlessOp
         ops_pkg.DynamicScatter = _ParamlessOp
         builder = _mod('mmdet3d.models.builder')

