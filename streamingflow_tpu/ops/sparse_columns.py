@@ -153,40 +153,63 @@ _PLANE_OFFSETS = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
 
 
 def _slot_table(col_ids: jnp.ndarray, col_mask: jnp.ndarray,
-                n_cells: int) -> jnp.ndarray:
-    """Dense (n_cells + 1,) int32 column-slot lookup table; -1 = empty.
+                n_cells: int, lead: int = 0) -> jnp.ndarray:
+    """Dense (lead + n_cells + 1,) int32 column-slot lookup; -1 = empty.
 
     One scatter of V narrow rows.  The 2-D grid is small enough to keep
-    dense even at flagship scale (1600^2 x int32 = 10 MB), and a single
-    table gather replaces per-tap `searchsorted` — whose ~16 serial
+    dense even at flagship scale (1600^2 x int32 = 10 MB), and table
+    gathers replace per-tap `searchsorted` — whose ~16 serial
     binary-search gathers per probe measured 37-95 ms per stage map
-    (tools/exp_column_pieces.py) and dominated the whole engine."""
-    tbl = jnp.full((n_cells + 1,), -1, jnp.int32)
-    return tbl.at[jnp.where(col_mask, col_ids, n_cells)].set(
+    (tools/exp_column_pieces.py) and dominated the whole engine.
+    ``lead`` prepends sentinel cells so windowed gathers starting at
+    cell-1 never underflow (flat cell c lives at index lead + c)."""
+    tbl = jnp.full((lead + n_cells + 1,), -1, jnp.int32)
+    return tbl.at[lead + jnp.where(col_mask, col_ids, n_cells)].set(
         jnp.arange(col_ids.shape[0], dtype=jnp.int32))
 
 
+def _window3(tbl_ext: jnp.ndarray, cell_start: jnp.ndarray) -> jnp.ndarray:
+    """Gather 3-lane windows covering flat cells [cell_start, cell_start+2]
+    from a lead-1 slot table -> (V, 3).
+
+    One 3-wide windowed gather costs one row descriptor instead of three
+    scalar gathers (narrow table lookups measured 3.8 GB/s / ~8 ns per
+    ELEMENT — they dominated the map builds at 81 ms per forward).  The
+    lead sentinel makes cell_start = -1 (an x-row's y=0 window) a valid
+    index; out-of-row lanes are masked by the caller's y-bounds checks,
+    and a lane that falls into the PREVIOUS x-row's tail is likewise
+    masked (its dy is out of [0, ny))."""
+    start = (cell_start + 1)[:, None]     # lead-1 table: flat cell c at c+1
+    return jax.lax.gather(
+        tbl_ext, start,
+        jax.lax.GatherDimensionNumbers(offset_dims=(1,),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(3,), mode='clip')
+
+
 def build_column_map(cs: ColumnSet, grid: Tuple[int, int]) -> ColumnMap:
-    """One dense-table gather over the 8 neighbour ids (+ identity self)."""
+    """Three 3-wide windowed table gathers (one per dx row)."""
     nx, ny = grid
     cap = cs.col_ids.shape[0]
-    tbl = _slot_table(cs.col_ids, cs.col_mask, nx * ny)
-    qids, inbs = [], []
-    for dx, dy in _PLANE_OFFSETS:
-        if (dx, dy) == (0, 0):
-            continue
-        ncx = cs.col_coords[:, 0] + dx
-        ncy = cs.col_coords[:, 1] + dy
-        inb = ((ncx >= 0) & (ncx < nx) & (ncy >= 0) & (ncy < ny)
-               & cs.col_mask)
-        qids.append(jnp.where(inb, ncx * ny + ncy, 0))
-        inbs.append(inb)
-    pos = tbl[jnp.stack(qids)]                       # (8, cap) one gather
-    found8 = jnp.stack(inbs) & (pos >= 0)
-    pos = jnp.where(found8, pos, 0).astype(jnp.int32)
+    tbl = _slot_table(cs.col_ids, cs.col_mask, nx * ny, lead=1)
+    x, y = cs.col_coords[:, 0], cs.col_coords[:, 1]
+    rows_pos, rows_found = [], []
+    for dx in (-1, 0, 1):
+        xq = x + dx
+        x_ok = (xq >= 0) & (xq < nx) & cs.col_mask
+        w = _window3(tbl, jnp.where(x_ok, xq * ny + y - 1, -1))  # dy=-1,0,1
+        for j, dy in enumerate((-1, 0, 1)):
+            yq = y + dy
+            ok = x_ok & (yq >= 0) & (yq < ny)
+            p = w[:, j]
+            rows_pos.append(jnp.where(ok & (p >= 0), p, 0).astype(jnp.int32))
+            rows_found.append(ok & (p >= 0))
+    nbr = jnp.stack(rows_pos)
+    found = jnp.stack(rows_found)
     self_slot = jnp.arange(cap, dtype=jnp.int32)
-    nbr = jnp.concatenate([pos[:4], self_slot[None], pos[4:]])
-    found = jnp.concatenate([found8[:4], cs.col_mask[None], found8[4:]])
+    nbr = nbr.at[4].set(self_slot)
+    found = found.at[4].set(cs.col_mask)
 
     consec = cs.col_ids[1:] == cs.col_ids[:-1] + 1
     pair_ok = consec & cs.col_mask[:-1] & cs.col_mask[1:]
@@ -311,14 +334,20 @@ def _subm_separable(feats, cmap: ColumnMap, weights, nz):
 
 def subm_conv_columns(feats: jnp.ndarray, zmask: jnp.ndarray,
                       cmap: ColumnMap, weights: jnp.ndarray,
-                      bias=None, formulation: str = 'sep') -> jnp.ndarray:
+                      bias=None, formulation: str = 'sep',
+                      mask_output: bool = True) -> jnp.ndarray:
     """Submanifold 3x3x3 conv over fused columns.
 
     feats (V, nz*Cin), weights (27, Cin, Cout) x-major taps (matching
     ops/sparse.py::_kernel_offsets) -> (V, nz*Cout), outputs only at
-    active sites (SubMConv3d semantics).  Formulations: 'sep' (separable,
-    2 gathers — default), 'banded' (9-tap gather + fused matmuls),
-    'conv' (9-tap gather + lax.conv over z)."""
+    active sites (SubMConv3d semantics).  Formulations: 'sep' (dx=0 taps
+    as sorted-order slices, 6 gathers — default), 'banded' (8-tap gather
+    + fused matmuls), 'conv' (8-tap gather + lax.conv over z).
+
+    ``mask_output=False`` skips the inactive-cell zeroing for callers
+    whose masked BN immediately re-masks (saves one full tensor pass per
+    conv); inactive-cell values are then conv sums of active neighbours
+    (finite, ignored by masked statistics)."""
     assert weights.shape[0] == 27, 'column subm path is specialised to 3x3x3'
     nz = zmask.shape[-1]
     if formulation == 'sep':
@@ -328,7 +357,7 @@ def subm_conv_columns(feats: jnp.ndarray, zmask: jnp.ndarray,
         out = _ZCONV[formulation](taps, weights, nz, nz, 3, 1, 1)
     if bias is not None:
         out = out + jnp.tile(bias, nz).astype(out.dtype)
-    return _mask_fused(out, zmask)
+    return _mask_fused(out, zmask) if mask_output else out
 
 
 def gen_output_columns(cs: ColumnSet, zmask_touches: jnp.ndarray,
@@ -386,7 +415,8 @@ def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
                         padding: Tuple[int, int, int],
                         shape: Tuple[int, int, int], cap: int,
                         bias=None,
-                        formulation: str = 'banded'
+                        formulation: str = 'banded',
+                        mask_output: bool = True
                         ) -> Tuple[ColumnSet, Tuple[int, int, int]]:
     """Strided ("native") sparse conv: new active columns + dilated zmask.
 
@@ -407,17 +437,27 @@ def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
         cs, touches, kernel[:2], stride[:2], padding[:2], out_shape[:2], cap)
 
     # per-(in-plane tap) contributing input column of every output column
-    # — one dense-table gather (see _slot_table)
-    tbl = _slot_table(cs.col_ids, cs.col_mask, nx * ny)
-    qids, inbs = [], []
+    # — 3-wide windowed table gathers where the y taps are consecutive
+    # (kernel[1] == 3), scalar lookups otherwise (see _slot_table)
+    tbl = _slot_table(cs.col_ids, cs.col_mask, nx * ny, lead=1)
+    poss, inbs = [], []
     for tx in range(kernel[0]):
-        for ty in range(kernel[1]):
-            ix = out_coords[:, 0] * stride[0] - padding[0] + tx
-            iy = out_coords[:, 1] * stride[1] - padding[1] + ty
-            inb = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & out_mask)
-            qids.append(jnp.where(inb, ix * ny + iy, 0))
-            inbs.append(inb)
-    pos = tbl[jnp.stack(qids)]
+        ix = out_coords[:, 0] * stride[0] - padding[0] + tx
+        x_ok = (ix >= 0) & (ix < nx) & out_mask
+        iy0 = out_coords[:, 1] * stride[1] - padding[1]
+        if kernel[1] == 3:
+            w = _window3(tbl, jnp.where(x_ok, ix * ny + iy0, -1))
+            for ty in range(3):
+                iy = iy0 + ty
+                inbs.append(x_ok & (iy >= 0) & (iy < ny))
+                poss.append(w[:, ty])
+        else:
+            for ty in range(kernel[1]):
+                iy = iy0 + ty
+                inb = x_ok & (iy >= 0) & (iy < ny)
+                poss.append(tbl[1 + jnp.where(inb, ix * ny + iy, -1)])
+                inbs.append(inb)
+    pos = jnp.stack(poss)
     found = jnp.stack(inbs) & (pos >= 0)
     nbr = jnp.where(found, pos, 0).astype(jnp.int32)
 
@@ -435,7 +475,8 @@ def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
 
     if bias is not None:
         out = out + jnp.tile(bias, nz_out).astype(out.dtype)
-    out = _mask_fused(out, zm_out)
+    if mask_output:
+        out = _mask_fused(out, zm_out)
     return (ColumnSet(out, out_ids, out_coords, out_mask, zm_out),
             out_shape)
 

@@ -165,15 +165,18 @@ def test_batch_stats_are_global(multichip_run):
 @pytest.mark.skipif(os.environ.get('SF_HEAVY_TESTS') != '1',
                     reason='~30 min/run on the 1-core CI box (two full '
                            'spconv8x train-grad compiles); the ops-level '
-                           'test below covers the same sharding property. '
-                           'Last full run 2026-08-18: PASS, global rel grad '
-                           'gap 1.66e-2 (tools/dbg_spconv_multichip.py).')
-def test_spconv_tiled_grads_match_single_device():
-    """The tiled sparse engine under pjit: its per-cloud sorts, scatters,
-    halo gathers and the site-generation payload sort are all batch-local,
-    so GSPMD must shard them cleanly over the data axis — proven by grad
-    equality against a 1-device run (same scheme as the pillar fixture,
-    global-norm bound only to keep this heavyweight test lean)."""
+                           'tests below cover the same sharding property. '
+                           'Last full run 2026-08-18 (tiled engine): PASS, '
+                           'global rel grad gap 1.66e-2 '
+                           '(tools/dbg_spconv_multichip.py).')
+def test_spconv_full_model_grads_match_single_device():
+    """The full spconv8x model under pjit (whichever sparse engine the
+    config defaults to — column since round 3; set
+    SF_DRYRUN_SPARSE_ENGINE-style overrides via cfg if needed): per-cloud
+    sorts, scatters, slot-table builds/lookups and tap gathers are all
+    batch-local, so GSPMD must shard them cleanly over the data axis —
+    proven by grad equality against a 1-device run (global-norm bound only
+    to keep this heavyweight test lean)."""
     cfg = _flagship_cfg(micro=True)
     cfg.MODEL.LIDAR.BACKBONE = 'spconv8x'
     rng = jax.random.PRNGKey(0)
@@ -261,6 +264,65 @@ def test_spconv_tiled_ops_grads_match_single_device():
     g8 = grad((jax.device_put(w1, repl), jax.device_put(w2, repl)),
               jax.device_put(feats, data), jax.device_put(coords, data),
               jax.device_put(ids, data), jax.device_put(masks, data))
+
+    for a, b, name in zip(jax.tree.leaves(g8), jax.tree.leaves(g1),
+                          ('w1', 'w2')):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        n = np.linalg.norm(b)
+        assert n > 0
+        assert np.linalg.norm(a - b) <= 1e-3 * n, \
+            f'{name}: rel {np.linalg.norm(a - b) / n:.2e}'
+
+
+def test_spconv_column_ops_grads_match_single_device():
+    """Column-engine sibling of the test above (the column engine is the
+    default spconv path): from_sites scatter, dense slot-table build +
+    lookup, sorted-slice y-taps, 6-tap gathers, output-column generation
+    sort and the strided tap gathers — all vmapped over 8 clouds and
+    pjit-sharded over the data axis, grads vs a 1-device run."""
+    from streamingflow_tpu.ops import sparse_columns as SC
+    from test_sparse_tiled import _make_set
+
+    rng = np.random.default_rng(13)
+    shape = (32, 24, 16)
+    sts = [_make_set(rng, shape, 400, 512, cluster=(i % 2 == 0))
+           for i in range(8)]
+    feats = jnp.stack([s.feats for s in sts])
+    ids = jnp.stack([s.ids for s in sts])
+    masks = jnp.stack([s.mask for s in sts])
+    w1 = jnp.asarray(rng.normal(size=(27, 8, 8)).astype(np.float32)) * 0.3
+    w2 = jnp.asarray(rng.normal(size=(27, 8, 12)).astype(np.float32)) * 0.3
+    kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+
+    def loss(ws, feats, ids, masks):
+        w1, w2 = ws
+
+        def one(f, i, m):
+            with jax.default_matmul_precision('float32'):
+                cs = SC.from_sites(f, i, m, shape, cap_cols=256)
+                cmap = SC.build_column_map(cs, shape[:2])
+                h = SC.subm_conv_columns(cs.feats, cs.zmask, cmap, w1,
+                                         formulation='sep')
+                out_cs, _ = SC.sparse_conv_columns(
+                    cs._replace(feats=h), w2, kernel, stride, padding,
+                    shape, cap=256)
+                return jnp.sum(out_cs.feats.astype(jnp.float32) ** 2)
+
+        return jnp.sum(jax.vmap(one)(feats, ids, masks))
+
+    grad = jax.jit(jax.grad(loss))
+
+    dev0 = jax.devices()[0]
+    g1 = grad((jax.device_put(w1, dev0), jax.device_put(w2, dev0)),
+              jax.device_put(feats, dev0), jax.device_put(ids, dev0),
+              jax.device_put(masks, dev0))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+    g8 = grad((jax.device_put(w1, repl), jax.device_put(w2, repl)),
+              jax.device_put(feats, data), jax.device_put(ids, data),
+              jax.device_put(masks, data))
 
     for a, b, name in zip(jax.tree.leaves(g8), jax.tree.leaves(g1),
                           ('w1', 'w2')):

@@ -1,0 +1,69 @@
+"""Dense NDHWC conv3d at the spconv stage shapes vs the column engine.
+
+If a late stage's grid is small enough, a dense conv (no gathers, no
+maps, no site generation — just MXU) can beat the column path despite
+computing every cell and lane-padding C to 128.
+
+    python tools/exp_dense_stage.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exp_column_pieces import chain_time
+
+# (grid, nz, C) per stage + the column-engine measured subm ms for context
+SHAPES = [
+    ((800, 800), 21, 32, 'col sep 20.8ms'),
+    ((400, 400), 11, 64, 'col sep 8.3ms'),
+    ((200, 200), 5, 128, 'col banded 3.7ms'),
+]
+
+
+def main():
+    print(f'device: {jax.devices()[0]}')
+    rng = np.random.default_rng(0)
+    for grid, nz, c, note in SHAPES:
+        x = jnp.asarray(rng.standard_normal((1, grid[0], grid[1], nz, c)),
+                        jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, c, c)) * 0.1,
+                        jnp.bfloat16)
+
+        def conv(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), 'SAME',
+                dimension_numbers=('NHWDC', 'HWDIO', 'NHWDC'),
+                preferred_element_type=jnp.bfloat16)
+
+        dt = chain_time(conv, (x, w),
+                        label=f'{grid[0]}^2x{nz}x{c} dense conv3d ({note})')
+        flops = 2 * grid[0] * grid[1] * nz * 27 * c * c
+        print(f'    -> {flops / dt / 1e12:.1f} TFLOP/s effective')
+
+        # strided downsample conv at the same shape
+        wd = jnp.asarray(rng.standard_normal((3, 3, 3, c, 2 * c)) * 0.1,
+                         jnp.bfloat16)
+
+        def down(x, wd):
+            return jax.lax.conv_general_dilated(
+                x, wd, (2, 2, 2), [(1, 1), (1, 1), (1, 1)],
+                dimension_numbers=('NHWDC', 'HWDIO', 'NHWDC'),
+                preferred_element_type=jnp.bfloat16)
+
+        chain_time(down, (x, wd),
+                   label=f'{grid[0]}^2x{nz}x{c} dense down s2')
+
+        # elementwise epilogue pass (BN+relu analogue) on the padded layout
+        scale = jnp.ones((c,), jnp.bfloat16)
+        chain_time(lambda x, s: jax.nn.relu(x * s + 0.1), (x, scale),
+                   label=f'{grid[0]}^2x{nz}x{c} elementwise pass')
+
+
+if __name__ == '__main__':
+    main()

@@ -88,6 +88,33 @@ def main():
         (upd, uniq))
     print(f'scatter-set ({n_idx} rows, w={width}, bf16): {dt * 1e3:.3f} ms')
 
+    # source-size sweep at fixed gathered volume: does gather bandwidth
+    # cliff when the source exceeds VMEM (~128 MB on v5e)?
+    width = 672
+    total_rows = 6 * 86016     # the stage-2 subm tap-gather volume
+    print(f'\nsource-size sweep (gather {total_rows} rows of w={width} '
+          f'bf16 = {total_rows * width * 2 / 1e9:.2f} GB moved):')
+    for src_rows in (8192, 16384, 32768, 49152, 65536, 86016, 131072):
+        src = jnp.asarray(rng.normal(size=(src_rows, width))
+                          .astype(np.float32)).astype(jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, src_rows, size=(6, 86016))
+                          .astype(np.int32))
+        dt = _chain_time(lambda s, i: s[i], (src, idx))
+        nbytes = total_rows * width * 2
+        print(f'  src {src_rows:>7} rows ({src_rows * width * 2 / 1e6:6.1f} '
+              f'MB): {dt * 1e3:8.3f} ms  {nbytes / dt / 1e9:6.1f} GB/s')
+
+    # nearly-sorted indices (the engine's real distribution: neighbour
+    # slots lie within a few hundred of self) vs uniform random
+    src = jnp.asarray(rng.normal(size=(86016, width)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    base = np.arange(86016, dtype=np.int32)
+    near = np.stack([np.clip(base + rng.integers(-300, 301, 86016), 0,
+                             86015) for _ in range(6)]).astype(np.int32)
+    dt = _chain_time(lambda s, i: s[i], (src, jnp.asarray(near)))
+    print(f'  nearly-sorted idx (+-300): {dt * 1e3:8.3f} ms  '
+          f'{total_rows * width * 2 / dt / 1e9:6.1f} GB/s')
+
 
 if __name__ == '__main__':
     main()
