@@ -210,6 +210,14 @@ class SparseEncoderConfig:
     # gather + lax.conv over z, minimal FLOPs, pays tap-stack
     # transposes).  A/B per hardware: tools/exp_column_pieces.py.
     Z_FORMULATION: str = 'sep'
+    # column engine only: stages >= this index (1-based; 5 = conv_out
+    # only) leave the column representation and run DENSE grid convs —
+    # on the post-downsample grids (400^2 x 11 at stage 3) computing
+    # every cell on the MXU beats gathering active sites (A/B in
+    # docs/PERF.md).  0 disables.  Numerics identical (masked BN zeroes
+    # inactive cells, so dense convs reproduce subm active-site values);
+    # stages 1-2 grids are too large to densify (HBM).
+    DENSE_TAIL_FROM_STAGE: int = 3
     # static occupied-tile capacity per stage for the tiled engine
     # (measured worst case 20.3k/10.3k/3.5k/0.7k — tools/size_caps.py)
     TILE_CAPS: List[int] = field(

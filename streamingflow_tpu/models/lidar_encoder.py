@@ -115,6 +115,28 @@ def _batched_tmap(coords, ids, mask, shape, cap_tiles, tile):
         c, i, m, shape, cap_tiles, tile=tile))(coords, ids, mask)
 
 
+class DenseGrid:
+    """Sentinel geometry for the dense-tail stages (see _column_ladder):
+    feats are a dense (B, nx, ny, nz, C) grid, mask its (B, nx, ny, nz)
+    occupancy, and convs run on every cell (no gathers)."""
+
+
+_DENSE = DenseGrid()
+
+
+def _conv3d(x, w, kernel, stride, padding):
+    """Dense NDHWC conv with the engines' x-major (prod(k), Cin, Cout)
+    tap layout (ops/sparse.py::_kernel_offsets order: dx major, dz minor
+    — exactly the HWDIO reshape)."""
+    kprod = kernel[0] * kernel[1] * kernel[2]
+    w3 = w.reshape(*kernel, w.shape[1], w.shape[2]).astype(x.dtype)
+    assert w.shape[0] == kprod
+    return jax.lax.conv_general_dilated(
+        x, w3, stride, [(p, p) for p in padding],
+        dimension_numbers=('NHWDC', 'HWDIO', 'NHWDC'),
+        preferred_element_type=x.dtype)
+
+
 def _batched_subm(feats, mask, geo, weights, formulation='banded'):
     """Submanifold conv batched over clouds; `geo` selects the engine.
 
@@ -125,7 +147,12 @@ def _batched_subm(feats, mask, geo, weights, formulation='banded'):
     ColumnMap: `feats` is the z-fused column tensor (B, V_col, nz*C) and
     `mask` the per-column z occupancy (B, V_col, nz) — one wide 9-tap
     gather + dense z-axis conv (ops/sparse_columns.py).
+    DenseGrid: `feats` is a dense (B, nx, ny, nz, C) grid — one conv,
+    every cell; masked BN restores subm semantics (inactive cells are
+    zero going in, so active-site values match exactly).
     NeighborMap: compact (B, V, C) row-gather GEMM."""
+    if isinstance(geo, DenseGrid):
+        return _conv3d(feats, weights, (3, 3, 3), (1, 1, 1), (1, 1, 1))
     if isinstance(geo, tileops.TileMap):
         return jax.vmap(lambda tl, g: tileops.subm_conv_tiles(tl, g, weights))(
             feats, geo)
@@ -240,6 +267,37 @@ class SparseConvBNReLU(nn.Module):
                 self.padding, self.cap)
         feats = MaskedBatchNorm()(feats, mask, train=train)
         return nn.relu(feats), coords, ids, mask, shape
+
+
+class DenseConvBNReLU(nn.Module):
+    """Strided sparse conv + BN + ReLU over a dense grid (the dense tail).
+
+    Same parameter tree as SparseConvBNReLU / ColumnSparseConvBNReLU
+    ('kernel' (prod(k), Cin, Cout) + MaskedBatchNorm_0), so checkpoints
+    are engine-portable.  Output occupancy is the exact SparseConv3d
+    active-site rule (any active input in the window — geometry.h:301),
+    computed as a windowed max over the input mask."""
+    out_channels: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, x, mask, shape, train: bool = False):
+        kprod = self.kernel[0] * self.kernel[1] * self.kernel[2]
+        w = self.param('kernel', nn.initializers.variance_scaling(
+            1.0, 'fan_in', 'uniform'), (kprod, x.shape[-1],
+                                        self.out_channels))
+        h = _conv3d(x, w, self.kernel, self.stride, self.padding)
+        omask = jax.lax.reduce_window(
+            mask.astype(jnp.float32), 0.0, jax.lax.max,
+            (1, *self.kernel), (1, *self.stride),
+            [(0, 0)] + [(p, p) for p in self.padding]) > 0
+        h = MaskedBatchNorm()(h, omask, train=train)
+        out_shape = tuple(
+            (shape[d] + 2 * self.padding[d] - self.kernel[d])
+            // self.stride[d] + 1 for d in range(3))
+        return nn.relu(h), omask, out_shape
 
 
 class ColumnSparseConvBNReLU(nn.Module):
@@ -416,6 +474,14 @@ class LidarBEVEncoder(nn.Module):
             s = jnp.sum(cs.feats.astype(jnp.float32), axis=(-2, -1))
             return s.reshape(B, T, 1, 1, 1).astype(out_dtype)
 
+        # dense tail: stages >= DENSE_TAIL_FROM_STAGE leave the column
+        # representation and run every grid cell on the MXU (the gather
+        # cost class disappears; the post-8x grids are small enough that
+        # computing empty cells is cheaper than addressing active ones —
+        # measured A/B in docs/PERF.md).  0 disables.
+        dense_from = cfg.DENSE_TAIL_FROM_STAGE
+        x = dmask = None         # dense-tail state once entered
+
         cap0 = min(cfg.COLUMN_CAPS[0], shape[0] * shape[1])
         cs = jax.vmap(lambda f, i, m: colops.from_sites(
             f, i, m, shape, cap0))(feats, ids, mask)
@@ -427,26 +493,64 @@ class LidarBEVEncoder(nn.Module):
                                               train=train)
         cs = cs._replace(feats=h)
 
+        def enter_dense(cs, shape, c):
+            xx, mm = jax.vmap(lambda f, ci, cc, cm, zm: colops.columns_to_dense(
+                colops.ColumnSet(f, ci, cc, cm, zm), shape, c))(*cs)
+            return xx, mm
+
+        def early_out_dense(x):
+            s = jnp.sum(x.astype(jnp.float32))
+            return (s * jnp.ones((B, T, 1, 1, 1), jnp.float32)
+                    ).astype(out_dtype)
+
         stage_paddings = [(1, 1, 1), (1, 1, 1), (1, 1, 0)]
+        prev_ch = cfg.BASE_CHANNELS
         for i, blocks in enumerate(cfg.ENCODER_CHANNELS):
+            if dense_from and i + 1 >= dense_from and x is None:
+                x, dmask = enter_dense(cs, shape, prev_ch)
             for j, ch in enumerate(blocks):
                 last = j == len(blocks) - 1
                 if last and i != len(cfg.ENCODER_CHANNELS) - 1:
                     if trunc < i + 2:
-                        return early_out(cs, shape)
-                    cs, shape = ColumnSparseConvBNReLU(
-                        ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
-                        cap=cfg.COLUMN_CAPS[i + 1], formulation=form,
-                        name=f'down{i + 1}')(cs, shape, train=train)
-                    geo = bmap(cs, shape[:2])
+                        return (early_out(cs, shape) if x is None
+                                else early_out_dense(x))
+                    if x is not None:
+                        x, dmask, shape = DenseConvBNReLU(
+                            ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
+                            name=f'down{i + 1}')(x, dmask, shape,
+                                                 train=train)
+                    else:
+                        cs, shape = ColumnSparseConvBNReLU(
+                            ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
+                            cap=cfg.COLUMN_CAPS[i + 1], formulation=form,
+                            name=f'down{i + 1}')(cs, shape, train=train)
+                        geo = bmap(cs, shape[:2])
                 else:
-                    h = SparseBasicBlock(
-                        ch, formulation=form, name=f'stage{i + 1}_block{j}')(
-                        cs.feats, cs.zmask, geo, train=train)
-                    cs = cs._replace(feats=h)
+                    if x is not None:
+                        h = SparseBasicBlock(
+                            ch, name=f'stage{i + 1}_block{j}')(
+                            x, dmask, _DENSE, train=train)
+                        x = h
+                    else:
+                        h = SparseBasicBlock(
+                            ch, formulation=form,
+                            name=f'stage{i + 1}_block{j}')(
+                            cs.feats, cs.zmask, geo, train=train)
+                        cs = cs._replace(feats=h)
+                prev_ch = ch
 
         if trunc < 5:
-            return early_out(cs, shape)
+            return early_out(cs, shape) if x is None else early_out_dense(x)
+        if dense_from and x is None:      # dense_from == 5: conv_out only
+            x, dmask = enter_dense(cs, shape, prev_ch)
+        if x is not None:
+            x, dmask, shape = DenseConvBNReLU(
+                cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
+                name='conv_out')(x, dmask, shape, train=train)
+            nx, ny, nz = shape
+            dense = jnp.swapaxes(x, -1, -2).reshape(B, T, nx, ny, -1)
+            return dense.astype(out_dtype)
+
         cs, shape = ColumnSparseConvBNReLU(
             cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
             cap=cfg.COLUMN_CAPS[-1], formulation=form,

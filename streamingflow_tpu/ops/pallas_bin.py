@@ -40,11 +40,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BINS_PER_TILE = 2048
+# One-hot cost scales as CHUNK x BINS_PER_TILE per chunk — the kernel's
+# dominant term at flagship point counts — while the program count scales
+# inversely with BINS_PER_TILE.  Sweepable for measurement
+# (tools/exp_bin_variants.py); 2048/256 was the round-2 operating point.
+BINS_PER_TILE = int(os.environ.get('SF_BIN_TILE', '2048'))
 # 256-row chunks measured fastest on v5e (smaller chunks waste less work on
 # sparse tiles; larger ones amortise DMA better — 256 is the sweet spot for
 # ~64 points/tile average occupancy)
-CHUNK = 256
+CHUNK = int(os.environ.get('SF_BIN_CHUNK', '256'))
 
 
 def _use_pallas() -> bool:
@@ -67,42 +71,77 @@ def _bin_sum_kernel(off_ref, data_ref, out_ref, acc_ref, chunk_ref, sem,
     off_ref (SMEM, prefetched): (n_tiles + 1,) int32 point offsets per tile
     boundary.
     out_ref (VMEM): (C, BINS_PER_TILE) block of the (C, n_bins) output.
-    """
+
+    Cross-program double buffering: at ~64 points per tile most programs
+    process exactly one chunk, and a serial DMA start/wait per program
+    left the kernel latency-bound (measured 23 ms for 5 flagship clouds).
+    The TPU grid is sequential and scratch persists across programs, so
+    program t waits on the chunk program t-1 prefetched into buffer t%2
+    and immediately starts the DMA of tile t+1's first chunk into the
+    other buffer; only the rare chunks >= 1 of multi-chunk tiles pay a
+    serial DMA."""
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     # chunk-align the start downward (the global-id compare makes boundary
     # rows from the previous tile inert); the end stays exact so the final
     # (partial) chunk still covers the tail rows
     start = (off_ref[t] // CHUNK) * CHUNK
     end = off_ref[t + 1]
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    mybuf = jax.lax.rem(t, 2)
 
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(data_ref.at[pl.ds(start, CHUNK), :],
+                              chunk_ref.at[0], sem.at[0]).start()
+
+    # my first chunk (prefetched by t-1, or just above for t == 0)
+    pltpu.make_async_copy(data_ref.at[pl.ds(start, CHUNK), :],
+                          chunk_ref.at[mybuf], sem.at[mybuf]).wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        nstart = (off_ref[t + 1] // CHUNK) * CHUNK
+        pltpu.make_async_copy(data_ref.at[pl.ds(nstart, CHUNK), :],
+                              chunk_ref.at[1 - mybuf],
+                              sem.at[1 - mybuf]).start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     tile_base = t * BINS_PER_TILE
     iota_bins = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BINS_PER_TILE), 1)
                  + tile_base)
+    # HIGHEST: the MXU's default fp32 path multiplies in bf16; the
+    # one-hot operand is exact, so full precision recovers fp32-exact
+    # sums (multi-pass bf16 expansion, ~6x the MXU passes).  Non-exact
+    # callers (learned features) take the single-pass default.
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
 
-    def body(i, _):
-        base = pl.multiple_of(start + i * CHUNK, CHUNK)
-        dma = pltpu.make_async_copy(
-            data_ref.at[pl.ds(base, CHUNK), :], chunk_ref, sem)
-        dma.start()
-        dma.wait()
-        rows = chunk_ref[:]
+    def accumulate(rows):
         gid = rows[:, 0:1].astype(jnp.int32)          # (CHUNK, 1)
         # global-id compare: rows from neighbouring tiles match no column
         onehot = jnp.where(gid == iota_bins, 1.0, 0.0)
-        # HIGHEST: the MXU's default fp32 path multiplies in bf16; the
-        # one-hot operand is exact, so full precision recovers fp32-exact
-        # sums (multi-pass bf16 expansion, ~6x the MXU passes).  Non-exact
-        # callers (learned features) take the single-pass default.
-        precision = (jax.lax.Precision.HIGHEST if exact
-                     else jax.lax.Precision.DEFAULT)
         acc_ref[:] += jax.lax.dot_general(
             rows[:, 1:1 + n_chan], onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision)                      # (C, BINS_PER_TILE)
+
+    # chunk 0: even an "empty" tile (start aligned below off[t] == end) may
+    # cover a partial chunk of foreign rows — the id compare zeroes them,
+    # so computing unconditionally is harmless and keeps the DMA chain
+    # uniform
+    accumulate(chunk_ref[mybuf])
+
+    def body(i, _):
+        base = pl.multiple_of(start + i * CHUNK, CHUNK)
+        dma = pltpu.make_async_copy(
+            data_ref.at[pl.ds(base, CHUNK), :], chunk_ref.at[mybuf],
+            sem.at[mybuf])
+        dma.start()
+        dma.wait()
+        accumulate(chunk_ref[mybuf])
         return 0
 
-    jax.lax.fori_loop(0, pl.cdiv(end - start, CHUNK), body, 0)
+    jax.lax.fori_loop(1, pl.cdiv(end - start, CHUNK), body, 0)
     acc = acc_ref[:]
     if finalize is not None:
         # epilogue fused into the kernel: derived statistics are computed on
@@ -162,8 +201,8 @@ def _bin_sum_pallas(data: jnp.ndarray, ids: jnp.ndarray, n_bins: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((c, BINS_PER_TILE), jnp.float32),
-            pltpu.VMEM((CHUNK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),   # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

@@ -481,6 +481,26 @@ def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
             out_shape)
 
 
+def columns_to_dense(cs: ColumnSet, shape: Tuple[int, int, int],
+                     C: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter a ColumnSet to a dense grid: (nx, ny, nz, C) + (nx, ny, nz)
+    occupancy.
+
+    The dense-tail entry point (see models/lidar_encoder.py): late stages
+    whose grids are small run every cell on the MXU instead of gathering —
+    inactive cells hold exact zeros, so a dense conv reproduces subm-conv
+    values at active sites and the masked BN that follows zeroes the rest
+    (the tile-residency argument of ops/sparse_tiled.py, grid-sized)."""
+    nx, ny, nz = shape
+    flat_idx = jnp.where(cs.col_mask, cs.col_ids, nx * ny)
+    dense = jnp.zeros((nx * ny + 1, cs.feats.shape[-1]), cs.feats.dtype)
+    dense = dense.at[flat_idx].add(_mask_fused(cs.feats, cs.zmask))
+    zm = jnp.zeros((nx * ny + 1, nz), jnp.int32).at[flat_idx].add(
+        cs.zmask.astype(jnp.int32) * cs.col_mask[:, None].astype(jnp.int32))
+    return (dense[:nx * ny].reshape(nx, ny, nz, C),
+            (zm[:nx * ny] > 0).reshape(nx, ny, nz))
+
+
 def to_dense_bev(cs: ColumnSet, grid: Tuple[int, int], nz: int,
                  C: int) -> jnp.ndarray:
     """Scatter columns to a dense (nx, ny, nz*C) grid with the reference

@@ -163,12 +163,13 @@ def test_batch_stats_are_global(multichip_run):
 
 
 @pytest.mark.skipif(os.environ.get('SF_HEAVY_TESTS') != '1',
-                    reason='~30 min/run on the 1-core CI box (two full '
+                    reason='~25 min/run on the 1-core CI box (two full '
                            'spconv8x train-grad compiles); the ops-level '
                            'tests below cover the same sharding property. '
-                           'Last full run 2026-08-18 (tiled engine): PASS, '
-                           'global rel grad gap 1.66e-2 '
-                           '(tools/dbg_spconv_multichip.py).')
+                           'Last full run 2026-08-19 (column engine, the '
+                           'current default): PASS in 1469 s.  Previous '
+                           '2026-08-18 (tiled engine): PASS, global rel '
+                           'grad gap 1.66e-2.')
 def test_spconv_full_model_grads_match_single_device():
     """The full spconv8x model under pjit (whichever sparse engine the
     config defaults to — column since round 3; set

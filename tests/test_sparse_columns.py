@@ -222,3 +222,36 @@ def test_batched_vmap_matches_per_cloud():
         np.testing.assert_allclose(
             np.asarray(batched[i]), np.asarray(one(s.feats, s.ids, s.mask)),
             rtol=1e-6, atol=1e-6)
+
+
+def test_dense_tail_matches_pure_column_ladder():
+    """DENSE_TAIL_FROM_STAGE k: the dense-grid tail (conv3d over every
+    cell + masked BN) must reproduce the pure column ladder bit-for-bit
+    up to conv summation order, WITH THE SAME PARAMETER TREE (init under
+    one setting, apply under all — checkpoint/engine portability)."""
+    from streamingflow_tpu.data import make_batch, tiny_config
+    from streamingflow_tpu.models.lidar_encoder import LidarBEVEncoder
+
+    cfg = tiny_config()
+    cfg.MODEL.MODALITY.USE_LIDAR = True
+    cfg.MODEL.SPARSE_ENCODER.ENGINE = 'column'
+    batch = make_batch(cfg, batch_size=1, n_points=512)
+    pts = jnp.asarray(batch['points'])[:, :1]
+
+    cfg.MODEL.SPARSE_ENCODER.DENSE_TAIL_FROM_STAGE = 0
+    v = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER).init(
+        {'params': jax.random.PRNGKey(0)}, pts)
+
+    outs, stats = {}, {}
+    for k in (0, 2, 3, 4, 5):
+        cfg.MODEL.SPARSE_ENCODER.DENSE_TAIL_FROM_STAGE = k
+        enc = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+        outs[k] = enc.apply(v, pts)                       # same v: tree match
+        _, stats[k] = enc.apply(v, pts, train=True, mutable=['batch_stats'])
+    for k in (2, 3, 4, 5):
+        d = np.abs(np.asarray(outs[k]) - np.asarray(outs[0]))
+        assert d.max() < 5e-3, (k, d.max())
+        assert (d > 1e-3).mean() < 1e-3, (k, (d > 1e-3).mean())
+        for a, b in zip(jax.tree.leaves(stats[k]), jax.tree.leaves(stats[0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)

@@ -46,6 +46,27 @@ def main():
         flops = 2 * grid[0] * grid[1] * nz * 27 * c * c
         print(f'    -> {flops / dt / 1e12:.1f} TFLOP/s effective')
 
+        # fused-z 2D conv: x (1, nx, ny, nz*C), weights (3, 3, nz*C, nz*C)
+        # block-banded (3 dz taps per z-output block; dense here — zeros
+        # don't change matmul cost).  No lane padding at 672-704 fused
+        # lanes; pays nz/3 x FLOPs vs exact 3-D.
+        xf = x.reshape(1, grid[0], grid[1], nz * c)
+        wf = jnp.asarray(rng.standard_normal((3, 3, nz * c, nz * c)) * 0.1,
+                         jnp.bfloat16)
+
+        def conv2d_fused(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.bfloat16)
+
+        dt2 = chain_time(conv2d_fused, (xf, wf),
+                         label=f'{grid[0]}^2 fused-z 2D conv ({nz}z x {c}ch '
+                               f'= {nz * c} lanes)')
+        fl2 = 2 * grid[0] * grid[1] * 9 * (nz * c) ** 2
+        print(f'    -> {fl2 / dt2 / 1e12:.1f} TFLOP/s effective '
+              f'({fl2 / flops:.1f}x exact-3D FLOPs)')
+
         # strided downsample conv at the same shape
         wd = jnp.asarray(rng.standard_normal((3, 3, 3, c, 2 * c)) * 0.1,
                          jnp.bfloat16)

@@ -119,6 +119,22 @@ def main():
     chain_time(sliced_gather, (cs.feats, side_idx),
                label='6-tap gather in 256-lane slices')
 
+    # 3-row windowed gather anchored at the face slots (2 descriptors per
+    # column instead of 6): rows [p-1, p, p+1] per dx — the speed of the
+    # corrected-window design (exactness machinery not included here)
+    face = jnp.stack([cmap.nbr[1], cmap.nbr[7]])        # (2, V)
+    def window_gather(f, anchors):
+        starts = (anchors - 1).reshape(-1)[:, None]
+        w = jax.lax.gather(
+            f, starts,
+            jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
+                                           collapsed_slice_dims=(),
+                                           start_index_map=(0,)),
+            slice_sizes=(3, f.shape[1]), mode='clip')
+        return w.reshape(2, anchors.shape[1], 3, f.shape[1])
+    chain_time(window_gather, (cs.feats, face),
+               label='2x 3-row windowed gather (same bytes as 6-tap)')
+
 
 if __name__ == '__main__':
     main()

@@ -72,6 +72,8 @@ def main():
         cfg.ENGINE = parts[0]
         if len(parts) > 1:
             cfg.Z_FORMULATION = parts[1]
+        if len(parts) > 2:             # column,sep,3 -> DENSE_TAIL stage
+            cfg.DENSE_TAIL_FROM_STAGE = int(parts[2])
         if dtype == 'bf16':
             cfg.COMPUTE_DTYPE = 'bfloat16'
         enc = LidarBEVEncoder(cfg)
