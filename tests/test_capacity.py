@@ -22,11 +22,13 @@ def test_flagship_caps_fit_realistic_cloud():
     rng = np.random.RandomState(7)
     cloud = _lidar_like_clouds(rng, (1,), 80000, se.POINT_CLOUD_RANGE)[0]
     rows = SC.stage_occupancy(cloud, cfg)
-    for i, (sites, tiles) in enumerate(rows):
+    for i, (sites, tiles, cols) in enumerate(rows):
         assert sites <= se.STAGE_CAPS[i], \
             f'stage {i + 1}: {sites} sites > cap {se.STAGE_CAPS[i]}'
         assert tiles <= se.TILE_CAPS[i], \
             f'stage {i + 1}: {tiles} tiles > cap {se.TILE_CAPS[i]}'
+        assert cols <= se.COLUMN_CAPS[i], \
+            f'stage {i + 1}: {cols} columns > cap {se.COLUMN_CAPS[i]}'
         # caps should not be wildly oversized either (memory is linear
         # in them) — at least 40% fill on the site caps
         assert sites >= 0.4 * se.STAGE_CAPS[i], \
