@@ -210,6 +210,16 @@ class SparseEncoderConfig:
     # gather + lax.conv over z, minimal FLOPs, pays tap-stack
     # transposes).  A/B per hardware: tools/exp_column_pieces.py.
     Z_FORMULATION: str = 'sep'
+    # 'win' formulation geometry: sorted ids make per-tap sources
+    # MONOTONE, so WINDOW_BLOCK consecutive columns read one contiguous
+    # WINDOW_WIDTH-row slice per dx (measured widths stay < 304 at
+    # block 256 on LiDAR-like clouds, tools/exp_window_stats.py); blocks
+    # whose window overflows fall back to direct gathers, whole-block,
+    # capped at WINDOW_RESID_BLOCKS (beyond it side taps drop, counted —
+    # static-cap semantics, docs/PARITY.md).
+    WINDOW_BLOCK: int = 256
+    WINDOW_WIDTH: int = 512
+    WINDOW_RESID_BLOCKS: int = 16
     # column engine only: stages >= this index (1-based; 5 = conv_out
     # only) leave the column representation and run DENSE grid convs —
     # on the post-downsample grids (400^2 x 11 at stage 3) computing

@@ -137,7 +137,8 @@ def _conv3d(x, w, kernel, stride, padding):
         preferred_element_type=x.dtype)
 
 
-def _batched_subm(feats, mask, geo, weights, formulation='banded'):
+def _batched_subm(feats, mask, geo, weights, formulation='banded',
+                  window=512):
     """Submanifold conv batched over clouds; `geo` selects the engine.
 
     TileMap: `feats` is the dense tile tensor (B, T_cap, tx, ty, tz, C)
@@ -156,6 +157,10 @@ def _batched_subm(feats, mask, geo, weights, formulation='banded'):
     if isinstance(geo, tileops.TileMap):
         return jax.vmap(lambda tl, g: tileops.subm_conv_tiles(tl, g, weights))(
             feats, geo)
+    if isinstance(geo, colops.ColumnWinGeo):
+        return jax.vmap(lambda f, zm, cm, pl: colops.subm_conv_columns(
+            f, zm, cm, weights, formulation='win', mask_output=False,
+            plan=pl, window=window))(feats, mask, geo.cmap, geo.plan)
     if isinstance(geo, colops.ColumnMap):
         # mask_output=False: the MaskedBatchNorm that always follows
         # re-masks, so the conv-level zeroing pass is redundant
@@ -189,6 +194,7 @@ class SubMConvBNReLU(nn.Module):
     out_channels: int
     kernel: int = 3
     formulation: str = 'banded'
+    window: int = 512
 
     @nn.compact
     def __call__(self, feats, mask, nmap, train: bool = False):
@@ -196,7 +202,8 @@ class SubMConvBNReLU(nn.Module):
         w = self.param('kernel', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'),
             (k3, _cin_of(feats, mask), self.out_channels))
-        h = _batched_subm(feats, mask, nmap, w, self.formulation)
+        h = _batched_subm(feats, mask, nmap, w, self.formulation,
+                          self.window)
         h = MaskedBatchNorm()(h, mask, train=train)
         return nn.relu(h)
 
@@ -205,6 +212,7 @@ class SparseBasicBlock(nn.Module):
     """Residual block of two subm convs (mmdet3d/ops/sparse_block.py:62)."""
     channels: int
     formulation: str = 'banded'
+    window: int = 512
 
     @nn.compact
     def __call__(self, feats, mask, nmap, train: bool = False):
@@ -212,12 +220,13 @@ class SparseBasicBlock(nn.Module):
         w1 = self.param('kernel1', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'), (27, _cin_of(feats, mask),
                                         self.channels))
-        h = _batched_subm(feats, mask, nmap, w1, self.formulation)
+        h = _batched_subm(feats, mask, nmap, w1, self.formulation,
+                          self.window)
         h = MaskedBatchNorm(name='bn1')(h, mask, train=train)
         h = nn.relu(h)
         w2 = self.param('kernel2', nn.initializers.variance_scaling(
             1.0, 'fan_in', 'uniform'), (27, self.channels, self.channels))
-        h = _batched_subm(h, mask, nmap, w2, self.formulation)
+        h = _batched_subm(h, mask, nmap, w2, self.formulation, self.window)
         h = MaskedBatchNorm(name='bn2')(h, mask, train=train)
         return nn.relu(h + identity)
 
@@ -464,8 +473,14 @@ class LidarBEVEncoder(nn.Module):
         trunc = int(_os.environ.get('SF_COLUMN_TRUNC', '9'))
 
         def bmap(cs, grid):
-            return jax.vmap(lambda f, ci, cc, cm, zm: colops.build_column_map(
+            cmap = jax.vmap(lambda f, ci, cc, cm, zm: colops.build_column_map(
                 colops.ColumnSet(f, ci, cc, cm, zm), grid))(*cs)
+            if form != 'win':
+                return cmap
+            plan = jax.vmap(lambda cm, msk: colops.build_window_plan(
+                cm, msk, block=cfg.WINDOW_BLOCK, window=cfg.WINDOW_WIDTH,
+                resid_blocks=cfg.WINDOW_RESID_BLOCKS))(cmap, cs.col_mask)
+            return colops.ColumnWinGeo(cmap, plan)
 
         def early_out(cs, shape):
             # profiling stub: reduce instead of densifying (a dense scatter
@@ -489,6 +504,7 @@ class LidarBEVEncoder(nn.Module):
             return early_out(cs, shape)
         geo = bmap(cs, shape[:2])
         h = SubMConvBNReLU(cfg.BASE_CHANNELS, formulation=form,
+                           window=cfg.WINDOW_WIDTH,
                            name='conv_input')(cs.feats, cs.zmask, geo,
                                               train=train)
         cs = cs._replace(feats=h)
@@ -533,7 +549,7 @@ class LidarBEVEncoder(nn.Module):
                         x = h
                     else:
                         h = SparseBasicBlock(
-                            ch, formulation=form,
+                            ch, formulation=form, window=cfg.WINDOW_WIDTH,
                             name=f'stage{i + 1}_block{j}')(
                             cs.feats, cs.zmask, geo, train=train)
                         cs = cs._replace(feats=h)

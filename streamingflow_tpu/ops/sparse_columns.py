@@ -227,6 +227,185 @@ def _gather_taps(feats: jnp.ndarray, nbr: jnp.ndarray,
     return jnp.where(found[:, :, None], g, 0)
 
 
+class WindowPlan(NamedTuple):
+    """Geometry for the block-windowed subm formulation ('win').
+
+    Sorted x-major column ids make the source slot of a fixed in-plane
+    tap MONOTONE in the output slot (id' = id + dx*ny + dy preserves
+    order), so a block of consecutive output columns reads a CONTIGUOUS
+    source window: one wide slice per (block, dx) + an in-VMEM one-hot
+    selection MATMUL replaces the per-row random gather that dominates
+    the column engine (docs/PERF.md: tap gathers ~1.16 s/forward at
+    1.3 KB random-row granularity; measured windows for block=256 stay
+    under ~304 rows at every stage, tools/exp_window_stats.py).
+
+    Blocks whose window overflows `window` rows (density cliffs between
+    adjacent x-rows; never observed on LiDAR-like clouds at window=2x
+    block) fall back to direct per-row gathers, whole-block, capped at
+    `resid_blocks` — beyond the cap, side-tap contributions of further
+    overflowing blocks are DROPPED and counted (`n_dropped`), mirroring
+    the engine's static-capacity semantics (docs/PARITY.md).
+
+    Fields (V_p = n_blocks * block >= V_col; row order = slot order):
+    starts:   (2, n_blocks) int32 — window start per dx in (-1, +1)
+    rel:      (6, V_p) int32 — in-window source index per side tap
+              (x-major order -1..+1 x dy -1..+1); -1 = no contribution
+              via the window (not found / overflow / residual block)
+    rrows:    (resid_blocks*block,) int32 — residual output rows
+    rslots:   (6, resid_blocks*block) int32 — their per-tap source slots
+    rfound:   (6, resid_blocks*block) bool
+    rmask:    (resid_blocks*block,) bool
+    n_dropped: () int32 — side-tap entries lost beyond the residual cap
+    """
+    starts: jnp.ndarray
+    rel: jnp.ndarray
+    rrows: jnp.ndarray
+    rslots: jnp.ndarray
+    rfound: jnp.ndarray
+    rmask: jnp.ndarray
+    n_dropped: jnp.ndarray
+
+
+class ColumnWinGeo(NamedTuple):
+    """Stage geometry bundle for the 'win' formulation."""
+    cmap: ColumnMap
+    plan: WindowPlan
+
+
+# side taps (dx != 0) in x-major order; dx=0 taps ride sorted-order slices
+_SIDE_TAPS = (0, 1, 2, 6, 7, 8)
+
+
+def build_window_plan(cmap: ColumnMap, col_mask: jnp.ndarray,
+                      block: int = 256, window: int = 512,
+                      resid_blocks: int = 16) -> WindowPlan:
+    """Per-stage windowed-gather geometry from an existing ColumnMap.
+
+    Pure function of the active-column geometry — one plan serves every
+    submanifold conv of the stage (the indice-pair cache contract)."""
+    cap = col_mask.shape[0]
+    window = min(window, cap)
+    n_blocks = -(-cap // block)
+    v_p = n_blocks * block
+    pad = v_p - cap
+
+    nbr6 = jnp.stack([cmap.nbr[k] for k in _SIDE_TAPS])
+    found6 = jnp.stack([cmap.found[k] for k in _SIDE_TAPS])
+    if pad:
+        nbr6 = jnp.pad(nbr6, ((0, 0), (0, pad)))
+        found6 = jnp.pad(found6, ((0, 0), (0, pad)))
+
+    slots = nbr6.reshape(6, n_blocks, block)
+    fnd = found6.reshape(6, n_blocks, block)
+    starts, rels = [], []
+    for d in range(2):                      # dx = -1 then +1
+        s3, f3 = slots[3 * d:3 * d + 3], fnd[3 * d:3 * d + 3]
+        smin = jnp.min(jnp.where(f3, s3, LARGE_ID), axis=(0, 2))
+        start = jnp.clip(jnp.where(smin < LARGE_ID, smin, 0),
+                         0, max(cap - window, 0)).astype(jnp.int32)
+        starts.append(start)
+        rels.append(s3 - start[None, :, None])
+    starts = jnp.stack(starts)
+    rel = jnp.concatenate(rels).reshape(6, v_p)
+
+    over = found6 & (rel >= window)
+    block_over = jnp.any(over.reshape(6, n_blocks, block), axis=(0, 2))
+    over_rank = jnp.cumsum(block_over) - 1
+    in_resid = block_over & (over_rank < resid_blocks)
+    n_dropped = jnp.sum(over & ~jnp.repeat(in_resid, block)[None, :])
+
+    rel = jnp.where(found6 & (rel < window)
+                    & ~jnp.repeat(in_resid, block)[None, :],
+                    rel, -1).astype(jnp.int32)
+
+    rb = max(resid_blocks, 1)
+    rblk = jax.ops.segment_min(
+        jnp.where(in_resid, jnp.arange(n_blocks), n_blocks),
+        jnp.clip(jnp.where(in_resid, over_rank, rb), 0, rb - 1),
+        num_segments=rb)
+    rok = rblk < n_blocks
+    rrows_full = (rblk[:, None] * block
+                  + jnp.arange(block)[None, :]).reshape(-1)
+    rmask = (jnp.repeat(rok, block) & (rrows_full < cap))
+    rrows = jnp.clip(rrows_full, 0, cap - 1).astype(jnp.int32)
+    rslots = nbr6[:, rrows].astype(jnp.int32)
+    rfound = found6[:, rrows] & rmask[None, :]
+    return WindowPlan(starts, rel, rrows, rslots, rfound, rmask,
+                      n_dropped.astype(jnp.int32))
+
+
+def _window_gather(feats: jnp.ndarray, starts: jnp.ndarray,
+                   window: int) -> jnp.ndarray:
+    """(cap, L) feats + (n_blocks,) starts -> (n_blocks, window, L) slices.
+
+    Contiguous wide slices (sequential DMA) instead of random rows."""
+    return jax.lax.gather(
+        feats, starts[:, None],
+        jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(window, feats.shape[-1]), mode='clip')
+
+
+def _subm_windowed(feats, cmap: ColumnMap, plan: WindowPlan, weights, nz,
+                   window: int):
+    """3x3x3 subm conv: dx=0 taps as sorted-order slices, dx=+-1 taps via
+    block-contiguous window slices + one-hot selection matmuls (MXU), plus
+    a capped whole-block residual gather for window-overflow blocks.
+
+    `window` MUST equal the value `plan` was built with (slice length and
+    start clipping are tied to it)."""
+    dt = feats.dtype
+    cap, L = feats.shape
+    window = min(window, cap)
+    n_blocks = plan.starts.shape[1]
+    block = plan.rel.shape[1] // n_blocks
+    zrow = jnp.zeros((1, L), dt)
+    g_dy0 = {
+        -1: jnp.concatenate([zrow, feats[:-1]])
+            * cmap.ydn_ok[:, None].astype(dt),
+        0: feats,
+        1: jnp.concatenate([feats[1:], zrow])
+           * cmap.yup_ok[:, None].astype(dt),
+    }
+
+    def band(k):
+        return _banded_matrix(weights[k * 3:(k + 1) * 3], nz, nz,
+                              3, 1, 1).astype(dt)
+
+    out = None
+    for dy in (-1, 0, 1):
+        acc = jnp.dot(g_dy0[dy], band(3 + (dy + 1)),
+                      preferred_element_type=dt)
+        out = acc if out is None else out + acc
+
+    pad = n_blocks * block - cap
+    rel = plan.rel.reshape(6, n_blocks, block)
+    iota = jnp.arange(window, dtype=jnp.int32)
+    for d in range(2):
+        win = _window_gather(feats, plan.starts[d], window)
+        oh = (rel[3 * d:3 * d + 3, :, :, None] == iota).astype(dt)
+        taps = jnp.einsum('tbiw,bwc->tbic', oh, win,
+                          preferred_element_type=dt)
+        taps = taps.reshape(3, n_blocks * block, L)
+        if pad:
+            taps = taps[:, :cap]
+        for j in range(3):
+            out = out + jnp.dot(taps[j], band(_SIDE_TAPS[3 * d + j]),
+                                preferred_element_type=dt)
+
+    # residual: overflow blocks redo their 6 side taps by direct gather
+    g = (feats[plan.rslots.reshape(-1)].reshape(6, -1, L)
+         * plan.rfound[:, :, None].astype(dt))
+    contrib = None
+    for i, k in enumerate(_SIDE_TAPS):
+        acc = jnp.dot(g[i], band(k), preferred_element_type=dt)
+        contrib = acc if contrib is None else contrib + acc
+    out = out.at[plan.rrows].add(contrib
+                                 * plan.rmask[:, None].astype(dt))
+    return out
+
+
 def _banded_matrix(w_taps: jnp.ndarray, nz_in: int, nz_out: int,
                    kz: int, sz: int, pz: int) -> jnp.ndarray:
     """(kz, Cin, Cout) z-tap weights -> (nz_in*Cin, nz_out*Cout) band.
@@ -335,14 +514,18 @@ def _subm_separable(feats, cmap: ColumnMap, weights, nz):
 def subm_conv_columns(feats: jnp.ndarray, zmask: jnp.ndarray,
                       cmap: ColumnMap, weights: jnp.ndarray,
                       bias=None, formulation: str = 'sep',
-                      mask_output: bool = True) -> jnp.ndarray:
+                      mask_output: bool = True, plan: WindowPlan = None,
+                      window: int = 512) -> jnp.ndarray:
     """Submanifold 3x3x3 conv over fused columns.
 
     feats (V, nz*Cin), weights (27, Cin, Cout) x-major taps (matching
     ops/sparse.py::_kernel_offsets) -> (V, nz*Cout), outputs only at
-    active sites (SubMConv3d semantics).  Formulations: 'sep' (dx=0 taps
-    as sorted-order slices, 6 gathers — default), 'banded' (8-tap gather
-    + fused matmuls), 'conv' (8-tap gather + lax.conv over z).
+    active sites (SubMConv3d semantics).  Formulations: 'win' (dx=0 taps
+    as sorted-order slices, dx=+-1 taps via block-contiguous window
+    slices + one-hot MXU selection — needs `plan`/`window`; the fastest
+    at flagship occupancy), 'sep' (dx=0 slices, 6 random gathers),
+    'banded' (8-tap gather + fused matmuls), 'conv' (8-tap gather +
+    lax.conv over z).
 
     ``mask_output=False`` skips the inactive-cell zeroing for callers
     whose masked BN immediately re-masks (saves one full tensor pass per
@@ -350,7 +533,10 @@ def subm_conv_columns(feats: jnp.ndarray, zmask: jnp.ndarray,
     (finite, ignored by masked statistics)."""
     assert weights.shape[0] == 27, 'column subm path is specialised to 3x3x3'
     nz = zmask.shape[-1]
-    if formulation == 'sep':
+    if formulation == 'win':
+        assert plan is not None, "'win' needs a WindowPlan (build_window_plan)"
+        out = _subm_windowed(feats, cmap, plan, weights, nz, window)
+    elif formulation == 'sep':
         out = _subm_separable(feats, cmap, weights, nz)
     else:
         taps = _gather_taps(feats, cmap.nbr, cmap.found)
@@ -425,7 +611,7 @@ def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
     touches it; values include every contributing tap."""
     nx, ny, nz = shape
     kz, sz, pz = kernel[2], stride[2], padding[2]
-    if formulation == 'sep':
+    if formulation in ('sep', 'win'):
         formulation = 'banded'   # strided convs always tap-gather
     out_shape = tuple((shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
                       for d in range(3))

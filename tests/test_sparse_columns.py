@@ -74,6 +74,80 @@ def test_subm_conv_matches_gather_engine(column_heavy, formulation):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize('column_heavy', [False, True])
+@pytest.mark.parametrize('block,window,resid', [
+    (16, 64, 4),    # wide window: no overflow, residual path idle
+    (16, 8, 64),    # tight window: heavy overflow, residual path exact
+])
+def test_subm_win_matches_gather_engine(column_heavy, block, window, resid):
+    """'win' formulation (block-contiguous window slices + one-hot MXU
+    selection + whole-block residual) == gather engine, both when the
+    windows cover everything and when overflow forces the residual."""
+    rng = np.random.default_rng(11)
+    shape = (16, 12, 9)
+    st = _make_set(rng, shape, 300, 512, column_heavy=column_heavy)
+    w = jnp.asarray(rng.normal(size=(27, 8, 12)).astype(np.float32)) * 0.3
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    ref = S.subm_conv3d(st, w, bias=b).feats
+
+    cs = _to_columns(st, cap_cols=256)
+    cmap = SC.build_column_map(cs, shape[:2])
+    plan = SC.build_window_plan(cmap, cs.col_mask, block=block,
+                                window=window, resid_blocks=resid)
+    assert int(plan.n_dropped) == 0
+    out = SC.subm_conv_columns(cs.feats, cs.zmask, cmap, w, bias=b,
+                               formulation='win', plan=plan, window=window)
+    got = SC.to_sites(cs._replace(feats=out), st.ids, st.mask, shape[2], 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_win_overflow_beyond_residual_cap_drops_and_counts():
+    """When more blocks overflow than WINDOW_RESID_BLOCKS can absorb, the
+    surplus side-tap contributions drop and are counted (static-cap
+    semantics) — never silently wrong values elsewhere."""
+    rng = np.random.default_rng(3)
+    shape = (16, 12, 9)
+    st = _make_set(rng, shape, 300, 512)
+    w = jnp.asarray(rng.normal(size=(27, 8, 12)).astype(np.float32)) * 0.3
+    cs = _to_columns(st, cap_cols=256)
+    cmap = SC.build_column_map(cs, shape[:2])
+    # window=4 with resid_blocks=1: most blocks overflow, only one is saved
+    plan = SC.build_window_plan(cmap, cs.col_mask, block=16, window=4,
+                                resid_blocks=1)
+    assert int(plan.n_dropped) > 0
+    out = SC.subm_conv_columns(cs.feats, cs.zmask, cmap, w,
+                               formulation='win', plan=plan, window=4)
+    full = SC.subm_conv_columns(cs.feats, cs.zmask, cmap, w,
+                                formulation='sep')
+    # the saved residual block and the dy=0 taps are exact; dropped taps
+    # only ever REMOVE side contributions (no corruption): verify the
+    # self+slice part by zeroing side weights
+    w_self = jnp.asarray(np.concatenate([
+        np.zeros((9, 8, 12), np.float32),
+        np.asarray(w)[9:18],
+        np.zeros((9, 8, 12), np.float32)]))
+    base = SC.subm_conv_columns(cs.feats, cs.zmask, cmap, w_self,
+                                formulation='sep')
+    # every row of `out` lies "between" base (all sides dropped) and full
+    # in the sense of being base + a subset of side contributions; check
+    # at least that out == full wherever no tap of the row overflowed
+    nb = plan.starts.shape[1]
+    blk_resid = np.zeros((nb * 16,), bool)
+    rr = np.asarray(plan.rrows)[np.asarray(plan.rmask)]
+    blk_resid[rr] = True
+    found6 = np.asarray(jnp.stack(
+        [cmap.found[k] for k in (0, 1, 2, 6, 7, 8)]))
+    rel = np.asarray(plan.rel)[:, :256]
+    tap_ok = ~found6 | (rel >= 0) | blk_resid[None, :256]
+    exact_rows = tap_ok.all(0)
+    assert exact_rows.any()
+    np.testing.assert_allclose(np.asarray(out)[exact_rows],
+                               np.asarray(full)[exact_rows],
+                               rtol=2e-5, atol=2e-5)
+    assert np.asarray(base).shape == np.asarray(out).shape
+
+
 def test_sep_corner_without_face_column():
     """Diagonal neighbour columns with the face column between them
     unoccupied: the separable formulation must still carry the corner
@@ -222,6 +296,39 @@ def test_batched_vmap_matches_per_cloud():
         np.testing.assert_allclose(
             np.asarray(batched[i]), np.asarray(one(s.feats, s.ids, s.mask)),
             rtol=1e-6, atol=1e-6)
+
+
+def test_win_formulation_ladder_matches_sep():
+    """Z_FORMULATION='win' must reproduce the 'sep' ladder with the SAME
+    parameter tree (the formulation is an execution detail, not a model
+    change — checkpoint/engine portability)."""
+    from streamingflow_tpu.data import make_batch, tiny_config
+    from streamingflow_tpu.models.lidar_encoder import LidarBEVEncoder
+
+    cfg = tiny_config()
+    cfg.MODEL.MODALITY.USE_LIDAR = True
+    se = cfg.MODEL.SPARSE_ENCODER
+    se.ENGINE = 'column'
+    se.DENSE_TAIL_FROM_STAGE = 0
+    # CPU-sized geometry (flagship caps make the one-hot select einsum
+    # minutes-slow on the test CPU); windows sized to exercise BOTH the
+    # windowed path and the whole-block residual fallback
+    se.COLUMN_CAPS = [512, 512, 512, 512]
+    se.WINDOW_BLOCK = 32
+    se.WINDOW_WIDTH = 48
+    se.WINDOW_RESID_BLOCKS = 8
+    batch = make_batch(cfg, batch_size=1, n_points=512)
+    pts = jnp.asarray(batch['points'])[:, :1]
+
+    cfg.MODEL.SPARSE_ENCODER.Z_FORMULATION = 'sep'
+    v = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER).init(
+        {'params': jax.random.PRNGKey(0)}, pts)
+    ref = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER).apply(v, pts)
+
+    cfg.MODEL.SPARSE_ENCODER.Z_FORMULATION = 'win'
+    got = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER).apply(v, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_dense_tail_matches_pure_column_ladder():

@@ -142,13 +142,26 @@ def main():
                 SC.ColumnSet(f, ci, cc, cm, zm), grid).nbr,
                 tuple(cs), label=f's{i+1} build_column_map')
         cmap = SC.build_column_map(cs, grid)
+        if not only or 'plan' in only:
+            chain_time(lambda *m: SC.build_window_plan(
+                SC.ColumnMap(*m[:4]), m[4]).rel,
+                tuple(cmap) + (cs.col_mask,),
+                label=f's{i+1} build_window_plan')
+        plan = SC.build_window_plan(cmap, cs.col_mask)
         if not only or 'subm' in only:
-            for form in ('sep', 'banded', 'conv'):
+            for form in ('win', 'sep', 'banded', 'conv'):
                 def run_subm(f, zm, *m, fm=form):
+                    pl = SC.WindowPlan(*m[4:]) if fm == 'win' else None
                     return SC.subm_conv_columns(
-                        f, zm, SC.ColumnMap(*m), w, formulation=fm)
-                chain_time(run_subm, (cs.feats, cs.zmask) + tuple(cmap),
+                        f, zm, SC.ColumnMap(*m[:4]), w, formulation=fm,
+                        plan=pl)
+                args = (cs.feats, cs.zmask) + tuple(cmap)
+                if form == 'win':
+                    args = args + tuple(plan)
+                chain_time(run_subm, args,
                            label=f's{i+1} subm {form} ({n}x{nz}x{c})')
+            if int(plan.n_dropped):
+                print(f'  !! s{i+1} win plan dropped {int(plan.n_dropped)}')
         if (not only or 'down' in only) and i < 3:
             pads = [(1, 1, 1), (1, 1, 1), (1, 1, 0)][i]
             shape3 = (grid[0], grid[1], nz)
