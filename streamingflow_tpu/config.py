@@ -208,8 +208,14 @@ class SparseEncoderConfig:
     # sorted-order slices, 6 gathers instead of 8 — default), 'banded'
     # (9-tap gather + fused matmuls, zero relayouts), or 'conv' (9-tap
     # gather + lax.conv over z, minimal FLOPs, pays tap-stack
-    # transposes).  A/B per hardware: tools/exp_column_pieces.py.
+    # transposes), or 'winfuse' (fused Pallas kernel: block-contiguous
+    # window DMA + in-VMEM one-hot selection + banded matmuls — tap
+    # stacks never round-trip HBM; ops/pallas_winfuse.py).
+    # A/B per hardware: tools/exp_column_pieces.py.
     Z_FORMULATION: str = 'sep'
+    # 'winfuse' window rows per dx slice (>= WINDOW_BLOCK + 16; measured
+    # per-block spans stay < 304 at block 256, tools/exp_window_stats.py)
+    WINFUSE_WINDOW: int = 384
     # 'win' formulation geometry: sorted ids make per-tap sources
     # MONOTONE, so WINDOW_BLOCK consecutive columns read one contiguous
     # WINDOW_WIDTH-row slice per dx (measured widths stay < 304 at
@@ -257,6 +263,13 @@ class ModelConfig:
     # default), 'sorted' (bit-exact reference order), or 'pallas_patch'
     # (structural MXU kernel, ops/pallas_patch_pool.py — the fast TPU path)
     BEV_POOL_BACKEND: str = 'scatter'
+    # rematerialise the big sub-modules (camera encoder, LiDAR ladder,
+    # temporal models, future prediction, decoder) under jax.checkpoint so
+    # the flagship train step fits one chip's HBM (the reference trains this
+    # config at 1 sample/GPU fp16, train.py:76-94; without remat the
+    # backward needs 17.3G vs 15.75G on v5e).  Free for inference: a
+    # forward-only jit computes each block exactly once.
+    REMAT: bool = True
     MODALITY: ModalityConfig = field(default_factory=ModalityConfig)
     LIDAR: LidarModelConfig = field(default_factory=LidarModelConfig)
     SMALL_ENCODER: SmallEncoderConfig = field(default_factory=SmallEncoderConfig)

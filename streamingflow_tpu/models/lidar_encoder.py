@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import SparseEncoderConfig
+from ..ops import pallas_winfuse as wf
 from ..ops import sparse as S
 from ..ops import sparse_columns as colops
 from ..ops import sparse_tiled as tileops
@@ -157,6 +158,18 @@ def _batched_subm(feats, mask, geo, weights, formulation='banded',
     if isinstance(geo, tileops.TileMap):
         return jax.vmap(lambda tl, g: tileops.subm_conv_tiles(tl, g, weights))(
             feats, geo)
+    if isinstance(geo, wf.ColumnFuseGeo):
+        # python loop, not vmap: the fused kernel rides a scalar-prefetch
+        # Pallas grid (same constraint as the binning kernel); the per-cloud
+        # programs are identical so XLA compiles the body once
+        interp = not wf.winfuse_available()
+        outs = [wf.subm_conv_winfuse(
+            feats[i], mask[i],
+            jax.tree.map(lambda a: a[i], geo.cmap),
+            jax.tree.map(lambda a: a[i], geo.plan),
+            weights, mask_output=False, window=window, interpret=interp)
+            for i in range(feats.shape[0])]
+        return jnp.stack(outs)
     if isinstance(geo, colops.ColumnWinGeo):
         return jax.vmap(lambda f, zm, cm, pl: colops.subm_conv_columns(
             f, zm, cm, weights, formulation='win', mask_output=False,
@@ -466,6 +479,7 @@ class LidarBEVEncoder(nn.Module):
         converted reference checkpoints are engine-portable."""
         cfg = self.cfg
         form = cfg.Z_FORMULATION
+        win = cfg.WINFUSE_WINDOW if form == 'winfuse' else cfg.WINDOW_WIDTH
         # perf-bisect knob: run only the first K pieces of the ladder
         # (0=entry, 1=conv_input+stage1, 2..4=through down_k+stage_{k+1},
         # 9=everything).  Debug/profiling only (tools/profile_column.py).
@@ -475,12 +489,18 @@ class LidarBEVEncoder(nn.Module):
         def bmap(cs, grid):
             cmap = jax.vmap(lambda f, ci, cc, cm, zm: colops.build_column_map(
                 colops.ColumnSet(f, ci, cc, cm, zm), grid))(*cs)
-            if form != 'win':
-                return cmap
-            plan = jax.vmap(lambda cm, msk: colops.build_window_plan(
-                cm, msk, block=cfg.WINDOW_BLOCK, window=cfg.WINDOW_WIDTH,
-                resid_blocks=cfg.WINDOW_RESID_BLOCKS))(cmap, cs.col_mask)
-            return colops.ColumnWinGeo(cmap, plan)
+            if form == 'win':
+                plan = jax.vmap(lambda cm, msk: colops.build_window_plan(
+                    cm, msk, block=cfg.WINDOW_BLOCK, window=cfg.WINDOW_WIDTH,
+                    resid_blocks=cfg.WINDOW_RESID_BLOCKS))(cmap, cs.col_mask)
+                return colops.ColumnWinGeo(cmap, plan)
+            if form == 'winfuse':
+                plan = jax.vmap(lambda cm, msk: wf.build_fused_plan(
+                    cm, msk, block=cfg.WINDOW_BLOCK,
+                    window=cfg.WINFUSE_WINDOW,
+                    resid_blocks=cfg.WINDOW_RESID_BLOCKS))(cmap, cs.col_mask)
+                return wf.ColumnFuseGeo(cmap, plan)
+            return cmap
 
         def early_out(cs, shape):
             # profiling stub: reduce instead of densifying (a dense scatter
@@ -504,7 +524,7 @@ class LidarBEVEncoder(nn.Module):
             return early_out(cs, shape)
         geo = bmap(cs, shape[:2])
         h = SubMConvBNReLU(cfg.BASE_CHANNELS, formulation=form,
-                           window=cfg.WINDOW_WIDTH,
+                           window=win,
                            name='conv_input')(cs.feats, cs.zmask, geo,
                                               train=train)
         cs = cs._replace(feats=h)
@@ -549,7 +569,7 @@ class LidarBEVEncoder(nn.Module):
                         x = h
                     else:
                         h = SparseBasicBlock(
-                            ch, formulation=form, window=cfg.WINDOW_WIDTH,
+                            ch, formulation=form, window=win,
                             name=f'stage{i + 1}_block{j}')(
                             cs.feats, cs.zmask, geo, train=train)
                         cs = cs._replace(feats=h)

@@ -31,6 +31,17 @@ class StreamingFlow(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+
+        # MODEL.REMAT: rematerialise the major sub-modules so the backward
+        # pass recomputes their internals instead of storing them — the
+        # flagship train step otherwise exceeds one v5e's HBM by ~1.6G.
+        # `train` is the trailing positional arg of every wrapped __call__
+        # (static: it selects BN/dropout branches).
+        def remat(cls, static_argnums=(2,)):
+            if not cfg.MODEL.REMAT:
+                return cls
+            return nn.remat(cls, static_argnums=static_argnums)
+
         self.bev_resolution, self.bev_start_position, self.bev_dimension = \
             G.calculate_birds_eye_view_parameters(
                 cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
@@ -45,7 +56,7 @@ class StreamingFlow(nn.Module):
         bev_size = (int(self.bev_dimension[0]), int(self.bev_dimension[1]))
 
         if self.use_camera:
-            self.encoder = Encoder(
+            self.encoder = remat(Encoder)(
                 out_channels=cfg.MODEL.ENCODER.OUT_CHANNELS,
                 depth_channels=self.depth_channels,
                 backbone_name=cfg.MODEL.ENCODER.NAME,
@@ -54,7 +65,7 @@ class StreamingFlow(nn.Module):
             if cfg.MODEL.TEMPORAL_MODEL.NAME == 'identity':
                 self.temporal_model = TemporalModelIdentity()
             else:
-                self.temporal_model = TemporalModel(
+                self.temporal_model = remat(TemporalModel)(
                     receptive_field=self.receptive_field,
                     input_shape=bev_size,
                     start_out_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
@@ -64,17 +75,17 @@ class StreamingFlow(nn.Module):
 
         if self.use_lidar:
             if cfg.MODEL.LIDAR.BACKBONE == 'pillar8x':
-                self.lidar_encoder = PillarBEVEncoder(
+                self.lidar_encoder = remat(PillarBEVEncoder)(
                     cfg.MODEL.SPARSE_ENCODER,
                     tile_sorted=cfg.MODEL.LIDAR.TILE_SORTED_POINTS)
             else:
-                self.lidar_encoder = LidarBEVEncoder(cfg.MODEL.SPARSE_ENCODER)
+                self.lidar_encoder = remat(LidarBEVEncoder)(cfg.MODEL.SPARSE_ENCODER)
             self.lidar_pre_reduce = cfg.MODEL.LIDAR.PRE_REDUCE_TEMPORAL
             if self.lidar_pre_reduce:
                 self.lidar_reduce = nn.Conv(
                     cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS, (1, 1),
                     use_bias=False, name='lidar_reduce')
-            self.temporal_model_lidar = TemporalModel(
+            self.temporal_model_lidar = remat(TemporalModel)(
                 receptive_field=self.receptive_field,
                 input_shape=bev_size,
                 start_out_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
@@ -84,7 +95,8 @@ class StreamingFlow(nn.Module):
 
         future_pred_in = cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS
         if self.n_future > 0:
-            self.future_prediction = FuturePredictionODE(
+            self.future_prediction = remat(
+                FuturePredictionODE, static_argnums=(7,))(
                 in_channels=future_pred_in,
                 latent_dim=self.latent_dim,
                 delta_t=cfg.MODEL.FUTURE_PRED.DELTA_T,
@@ -114,7 +126,7 @@ class StreamingFlow(nn.Module):
                 latent_dim=self.latent_dim,
                 method=cfg.PROBABILISTIC.METHOD)
 
-        self.decoder = Decoder(
+        self.decoder = remat(Decoder)(
             n_classes=len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS),
             n_present=self.receptive_field,
             n_hdmap=len(cfg.SEMANTIC_SEG.HDMAP.ELEMENTS),
@@ -150,7 +162,7 @@ class StreamingFlow(nn.Module):
         geometry = geometry.reshape(b, s, *geometry.shape[1:])
 
         flat_imgs = image.reshape(b * s * n, *image.shape[3:])
-        feature, depth = self.encoder(flat_imgs, train=train)
+        feature, depth = self.encoder(flat_imgs, train)
         fh, fw = feature.shape[1:3]
 
         # present-frame front-camera feature for the planning head
@@ -201,10 +213,10 @@ class StreamingFlow(nn.Module):
 
         if self.use_lidar:
             # points: (B, T_l, P, C_pt) padded clouds
-            feat = self.lidar_encoder(points, train=train)  # (B,T_l,X,Y,256)
+            feat = self.lidar_encoder(points, train)  # (B,T_l,X,Y,256)
             if self.lidar_pre_reduce:
                 feat = self.lidar_reduce(feat)
-            lidar_states = self.temporal_model_lidar(feat, train=train)
+            lidar_states = self.temporal_model_lidar(feat, train)
             states = lidar_states
 
         if self.use_camera:
@@ -226,14 +238,14 @@ class StreamingFlow(nn.Module):
                     [jnp.zeros_like(ego_spatial[:, :1]),
                      ego_spatial[:, :rf - 1]], axis=1)
                 x = jnp.concatenate([x, ego_spatial.astype(x.dtype)], axis=-1)
-            camera_states = self.temporal_model(x, train=train)
+            camera_states = self.temporal_model(x, train)
             states = camera_states
 
         if self.n_future > 0:
             present_state = states[:, -1:]
             states = self.future_prediction(
                 present_state, camera_states, camera_timestamp,
-                lidar_states, lidar_timestamp, target_timestamp, train=train)
+                lidar_states, lidar_timestamp, target_timestamp, train)
 
-        output.update(self.decoder(states, train=train))
+        output.update(self.decoder(states, train))
         return output

@@ -210,15 +210,53 @@ def pack_frustum_rows(x: jnp.ndarray, coords: jnp.ndarray,
     return lanes
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _pool_with_vjp(x, coords, kept, nx, ny, interpret):
+    packed = pack_frustum_rows(x, coords, kept)
+    return _patch_pool_pallas(packed, nx, ny, interpret=interpret)
+
+
+def _pool_fwd(x, coords, kept, nx, ny, interpret):
+    out = _pool_with_vjp(x, coords, kept, nx, ny, interpret)
+    # residuals: coords + kept only — the features themselves are not needed
+    # (the pool is linear in x), so backward adds no activation memory.  The
+    # zero-size token carries x's dtype/width (residuals must be JAX types).
+    token = jnp.zeros((0, x.shape[-1]), x.dtype)
+    return out, (coords, kept, token)
+
+
+def _pool_bwd(nx, ny, interpret, res, cots):
+    """Backward of the patch pool: the pool is a masked scatter-add of rows
+    into bins, so d/dx is a per-row gather of the output cotangent at each
+    row's bin (VERDICT r3 item 1a).  Rows the forward dropped for exceeding
+    the patch budget receive the same gather (a no-op in practice: the drop
+    counter is asserted zero in tests and zero on nuScenes calibrations)."""
+    dout, _ddrops = cots
+    coords, kept, token = res
+    f = dout.shape[0]
+    n_chan = dout.shape[-1]
+    flat = dout.reshape(f, nx * ny, n_chan)
+    cid = coords[..., 0] * ny + coords[..., 1]            # (F, N, D, fH, fW)
+    cid = jnp.where(kept, cid, 0).reshape(f, -1)
+    g = jnp.take_along_axis(flat, cid[..., None], axis=1)  # (F, rows, C)
+    g = g.reshape(*kept.shape, n_chan)
+    g = jnp.where(kept[..., None], g, 0.0)
+    return (g[..., :token.shape[1]].astype(token.dtype), None, None)
+
+
+_pool_with_vjp.defvjp(_pool_fwd, _pool_bwd)
+
+
 def patch_pool_frames(x: jnp.ndarray, coords: jnp.ndarray, kept: jnp.ndarray,
                       nx: int, ny: int, interpret: bool = False):
     """Pool one batch of frames: (F, N, D, fH, fW, C) -> (F, nx, ny, C).
 
     Returns (bev fp32, drops (F,)) — drops counts rows lost to the patch
-    budget (zero for sane calibrations; asserted in tests)."""
+    budget (zero for sane calibrations; asserted in tests).  Differentiable:
+    a custom VJP gathers the output cotangent at each row's bin, so the
+    production camera pool trains (the raw ``pallas_call`` has no JVP rule)."""
     c = x.shape[-1]
-    packed = pack_frustum_rows(x, coords, kept)
-    out, drops = _patch_pool_pallas(packed, nx, ny, interpret=interpret)
+    out, drops = _pool_with_vjp(x, coords, kept, nx, ny, interpret)
     return out[..., :c], drops
 
 

@@ -611,7 +611,7 @@ def sparse_conv_columns(cs: ColumnSet, weights: jnp.ndarray,
     touches it; values include every contributing tap."""
     nx, ny, nz = shape
     kz, sz, pz = kernel[2], stride[2], padding[2]
-    if formulation in ('sep', 'win'):
+    if formulation in ('sep', 'win', 'winfuse'):
         formulation = 'banded'   # strided convs always tap-gather
     out_shape = tuple((shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
                       for d in range(3))

@@ -94,6 +94,32 @@ def test_all_rows_out_of_range():
                                   np.zeros((NX, NY, 64), np.float32))
 
 
+def test_gradients_match_scatter_backend():
+    """The custom VJP (gather of the output cotangent at each row's bin)
+    must agree with autodiff through the XLA segment-sum backend — the pool
+    is linear, so the grads are equal exactly (VERDICT r3 item 1a)."""
+    x, geom = _camera_like_inputs(seed=2)
+    coords = LS.quantize_geometry(geom, START, RES)
+    kept = ((coords[..., 0] >= 0) & (coords[..., 0] < NX)
+            & (coords[..., 1] >= 0) & (coords[..., 1] < NY)
+            & (coords[..., 2] >= 0) & (coords[..., 2] < 1))
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.randn(NX, NY, 64).astype(np.float32))
+
+    def loss_patch(x):
+        out, _ = patch_pool_frames(x[None], coords[..., :2][None],
+                                   kept[None], NX, NY, interpret=True)
+        return jnp.sum(out[0] * w)
+
+    def loss_scatter(x):
+        return jnp.sum(_scatter_reference(x, geom) * w)
+
+    g_patch = jax.grad(loss_patch)(x)
+    g_scatter = jax.grad(loss_scatter)(x)
+    np.testing.assert_allclose(np.asarray(g_patch), np.asarray(g_scatter),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_budget_violation_is_counted_not_silent():
     """Scattered random coords inside one group exceed the 16x24 patch ->
     rows must be dropped AND counted."""
