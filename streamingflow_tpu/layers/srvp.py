@@ -2,6 +2,11 @@
 
 Reference: streamingflow/layers/res_models.py (ResBlock:52, SmallEncoder:82,
 SmallDecoder:112, SELayer:150, ConvNet:168).  Channels-last layouts.
+
+NOTE: res_models.ConvBlock (:8-49) defaults to LeakyReLU(0.1) — unlike the
+convolutions.py ConvBlock twin (ReLU).  Every ConvBlock in this module must
+therefore pass activation='lrelu' explicitly (pinned at 1e-5 by
+tests/test_reference_parity.py::test_ode_single_step_matches_reference_tightly).
 """
 from __future__ import annotations
 
@@ -68,7 +73,8 @@ class SmallDecoder(nn.Module):
     @nn.compact
     def __call__(self, z, skip=None, train: bool = False, sigmoid: bool = False):
         assert (skip is None) == (not self.skip)
-        h = ConvBlock(self.nf * 4, transpose=True)(z, train=train)
+        h = ConvBlock(self.nf * 4, transpose=True,
+                      activation='lrelu')(z, train=train)
         widths = [self.nf * 2, self.nf * 2, self.nf * 2, self.nf, self.nf]
         for i, w in enumerate(widths):
             if skip is not None:
@@ -76,9 +82,9 @@ class SmallDecoder(nn.Module):
             h = ResBlock(w)(h, train=train)
             if i in (2, 3):
                 h = resize_nearest(h, (h.shape[1] * 2, h.shape[2] * 2))
-        h = ConvBlock(self.nf, 3)(h, train=train)
-        h = ConvBlock(self.nh, 3, transpose=True, bias=True, norm='none')(
-            h, train=train)
+        h = ConvBlock(self.nf, 3, activation='lrelu')(h, train=train)
+        h = ConvBlock(self.nh, 3, transpose=True, bias=True, norm='none',
+                      activation='lrelu')(h, train=train)
         if sigmoid:
             h = nn.sigmoid(h)
         return h
@@ -111,5 +117,6 @@ class ConvNet(nn.Module):
         h = SELayer()(h)
         h = ResBlock(self.out_channels)(h, train=train)
         h = SELayer()(h)
-        h = ConvBlock(self.out_channels, 3, bias=True, norm='none')(h, train=train)
+        h = ConvBlock(self.out_channels, 3, bias=True, norm='none',
+                      activation='lrelu')(h, train=train)
         return h

@@ -516,6 +516,73 @@ def test_ode_activations_match_reference(torch_side, monkeypatch, solver,
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize('solver', ['euler', 'midpoint'])
+def test_ode_single_step_matches_reference_tightly(torch_side, monkeypatch,
+                                                   solver):
+    """ONE observation + ONE solver step against the bare reference
+    NNFOwithBayesianJumps at <= 1e-5 (VERDICT r3 item 8): the end-to-end
+    tape test above passes at 2e-3 because dozens of conv-GRU steps
+    accumulate bf16-free fp32 reassociation; a single jump + step pins the
+    jump update, trusting gate, infer_state and solver arithmetic far
+    tighter.  delta_t == the obs->target gap, so fixed- and variable-step
+    schedules coincide (one step either way)."""
+    torch = torch_side
+    import jax
+    import jax.numpy as jnp
+
+    from streamingflow.models import model_utils as MU
+    from streamingflow.models.future_prediction_ode import (
+        FuturePredictionODE as RefFPO)
+
+    from streamingflow_tpu.layers.ode import GRUODEBayes
+
+    monkeypatch.setattr(MU, 'rsample_normal', _deterministic_rsample(torch))
+
+    C, F, HW = 16, 8, 16
+    cfg_t = ref_shims.ref_flagship_cfg()
+    cfg_t.MODEL.ENCODER.OUT_CHANNELS = C
+    cfg_t.MODEL.DISTRIBUTION.LATENT_DIM = C
+    cfg_t.MODEL.SMALL_ENCODER.FILTER_SIZE = F
+    cfg_t.MODEL.SMALL_ENCODER.SKIPCO = False
+    cfg_t.MODEL.SOLVER = solver
+    cfg_t.MODEL.IMPUTE = True
+    cfg_t.MODEL.FUTURE_PRED.USE_VARIABLE_ODE_STEP = False
+
+    torch.manual_seed(21)
+    ref = RefFPO(in_channels=C, latent_dim=C, n_future=1, cfg=cfg_t,
+                 mixture=True, n_gru_blocks=1, n_res_layers=1,
+                 delta_t=0.5).eval()
+
+    mine = GRUODEBayes(input_size=C, hidden_size=C, delta_t=0.5,
+                       solver=solver, impute=True, variable_step=False,
+                       srvp_filter_size=F, skipco=False,
+                       max_gap_seconds=0.5, stochastic=False)
+
+    rng = np.random.RandomState(3)
+    present = rng.randn(1, 1, HW, HW, C).astype(np.float32)
+    obs = rng.randn(1, 1, HW, HW, C).astype(np.float32)
+    obs_t = np.asarray([[0.0]], np.float32)
+    tgt_t = np.asarray([[0.5]], np.float32)
+
+    key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision('float32'):
+        variables = mine.init(
+            {'params': key, 'sample': key}, jnp.asarray(obs_t),
+            jnp.asarray(obs), jnp.asarray(present), jnp.asarray(tgt_t))
+        variables = _convert_standalone(
+            variables, ref.gru_ode, 'model/future_prediction/gru_ode',
+            'future_prediction_ode.gru_ode')
+        out = mine.apply(variables, jnp.asarray(obs_t), jnp.asarray(obs),
+                         jnp.asarray(present), jnp.asarray(tgt_t))
+
+    with torch.no_grad():
+        _, _, predict_x = ref.gru_ode(
+            times=torch.from_numpy(obs_t[0]), input=_t(present),
+            obs=_t(obs), delta_t=0.5, T=torch.from_numpy(tgt_t[0]))
+    np.testing.assert_allclose(np.asarray(out), _f(predict_x),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_camera_model_composition_matches_reference(torch_side, monkeypatch):
     """END-TO-END composed camera model (streamingflow.py:209-275):
     frustum/geometry (:277-292), encoder + depth (x) feature outer product

@@ -33,6 +33,15 @@ def main():
     step = TR.make_train_step(cfg)
 
     print('compiling...', flush=True)
+    lowered = jax.jit(
+        lambda s, b, r: step(s, b, r), donate_argnums=0).lower(
+        state, batch, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    try:
+        mem = compiled.memory_analysis()
+        print('memory:', mem, flush=True)
+    except Exception as e:  # pragma: no cover
+        print('memory_analysis unavailable:', e, flush=True)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     float(metrics['total_loss'])
 
