@@ -681,6 +681,117 @@ def test_camera_model_composition_matches_reference(torch_side, monkeypatch):
     del rf
 
 
+def test_fusion_model_composition_matches_reference(torch_side, monkeypatch):
+    """END-TO-END composed camera+LiDAR FUSION model on converted weights
+    (VERDICT r3 item 5): the reference full `forward`
+    (streamingflow.py:209-275) — voxelize + SparseEncoder (compiled spconv
+    kernels emulated in pure torch, ref_shims.enable_cpu_spconv) + lidar
+    temporal model + camera branch + the GRU-ODE at n_future>0 + decoder —
+    against StreamingFlow.__call__ with the spconv8x column engine."""
+    torch = torch_side
+    import jax
+    import jax.numpy as jnp
+
+    from streamingflow.models import model_utils as MU
+
+    from streamingflow_tpu.data import make_batch
+    from streamingflow_tpu.models import StreamingFlow
+    from streamingflow_tpu.training.trainer import batch_to_model_args
+    from streamingflow_tpu.utils import torch_convert as TC
+
+    monkeypatch.setattr(MU, 'rsample_normal', _deterministic_rsample(torch))
+
+    cfg = _parity_cfg()
+    cfg.MODEL.MODALITY.USE_LIDAR = True
+    cfg.MODEL.MODALITY.USE_CAMERA = True
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.N_FUTURE_FRAMES = 2
+    cfg.MODEL.FUTURE_PRED.USE_VARIABLE_ODE_STEP = True
+    cfg.MODEL.IMPUTE = True
+    cfg.DATASET.FRAME_SKIP = 4            # 5 lidar observation groups
+
+    cfg_t = ref_shims.ref_flagship_cfg()
+    cfg_t.N_FUTURE_FRAMES = 2
+    cfg_t.IMAGE.FINAL_DIM = tuple(cfg.IMAGE.FINAL_DIM)
+    cfg_t.IMAGE.NAMES = list(cfg.IMAGE.NAMES)
+    cfg_t.LIFT.X_BOUND = list(cfg.LIFT.X_BOUND)
+    cfg_t.LIFT.Y_BOUND = list(cfg.LIFT.Y_BOUND)
+    cfg_t.MODEL.IMPUTE = True
+
+    torch.manual_seed(5)
+    SF = ref_shims.load_ref_streamingflow()
+    ref_shims.enable_cpu_spconv()
+    ref = SF(cfg_t).eval()
+
+    # the reference hard-codes its LiDAR pipeline geometry in forward()
+    # (streamingflow.py:118: pc range [-50, 50], sparse_shape
+    # [1600, 1600, 41]); rebuild the backbone at this test's tiny grid and
+    # swap the CUDA voxelizer for the pure-torch equivalent
+    se_cls = type(ref.encoders['lidar']['backbone'])
+    se = cfg.MODEL.SPARSE_ENCODER
+    torch.manual_seed(6)
+    ref.encoders['lidar']['backbone'] = se_cls(
+        in_channels=5, sparse_shape=list(se.SPARSE_SHAPE),
+        output_channels=128, order=['conv', 'norm', 'act'],
+        encoder_channels=[[16, 16, 32], [32, 32, 64], [64, 64, 128],
+                          [128, 128]],
+        encoder_paddings=[[0, 0, 1], [0, 0, 1], [0, 0, [1, 1, 0]], [0, 0]],
+        block_type='basicblock')
+    ref_shims.attach_cpu_voxelize(ref, se.POINT_CLOUD_RANGE, se.VOXEL_SIZE,
+                                  max_points=se.MAX_NUM_POINTS)
+    ref = ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=1, n_points=64).items()}
+    args = batch_to_model_args(batch, cfg)
+    model = StreamingFlow(cfg)
+    key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision('float32'):
+        variables = model.init(
+            {'params': key, 'dropout': key, 'sample': key}, **args)
+        rules = _load_rules()
+        wrapped = {'params': {'model': variables['params']},
+                   'batch_stats': {'model': variables.get('batch_stats',
+                                                          {})}}
+        new_vars, report = TC.convert_variables(wrapped, sd, rules.RULES,
+                                                strict_shapes=False)
+        import re
+        missing = [m for m in report['missing']
+                   if not any(re.fullmatch(p, m) for p in rules.IGNORED_FLAX)]
+        assert missing == [], f'unconverted: {missing[:8]}'
+        variables = {'params': new_vars['params']['model'],
+                     'batch_stats': new_vars['batch_stats']['model']}
+        out = model.apply(variables, **args,
+                          rngs={'sample': jax.random.PRNGKey(0)})
+
+    def t_of(x):
+        return torch.from_numpy(np.asarray(x))
+
+    T_l = batch['points'].shape[1]
+    with torch.no_grad():
+        ref_out = ref(
+            image=t_of(np.moveaxis(np.asarray(batch['image']), -1, -3)),
+            intrinsics=t_of(np.asarray(batch['intrinsics'])),
+            extrinsics=t_of(np.asarray(batch['extrinsics'])),
+            future_egomotion=t_of(np.asarray(batch['future_egomotion'])),
+            camera_timestamp=t_of(np.asarray(batch['camera_timestamp'])),
+            points=[t_of(np.asarray(batch['points'][:, t]))
+                    for t in range(T_l)],
+            lidar_timestamp=t_of(np.asarray(batch['lidar_timestamp'])),
+            target_timestamp=t_of(np.asarray(batch['target_timestamp'])))
+
+    compared = 0
+    for key_ in ('segmentation', 'instance_center', 'instance_offset',
+                 'instance_flow', 'pedestrian', 'hdmap'):
+        if key_ in ref_out and out.get(key_) is not None:
+            np.testing.assert_allclose(
+                np.asarray(out[key_]), _f(ref_out[key_].float()),
+                rtol=5e-3, atol=5e-3, err_msg=key_)
+            compared += 1
+    assert compared >= 4, list(ref_out.keys())
+
+
 def test_decoder_matches_reference(torch_side):
     """Shared BEV decoder + heads (decoder.py:8-140) on converted weights."""
     torch = torch_side
