@@ -122,6 +122,12 @@ def run_eval(cfg, ckpt, short_interval: bool = False, plot_dir=None,
         jax.block_until_ready(output['segmentation'])
         t_fwd.append(time.time() - t0)
 
+        for k, v in output.get('diagnostics', {}).items():
+            if ('dropped' in k or 'cap_hit' in k) and float(v) > 0:
+                print(f'WARNING: sparse-engine capacity event {k} = '
+                      f'{int(v)} — raise MODEL.SPARSE_ENCODER caps '
+                      f'(tools/size_caps.py)', flush=True)
+
         seg_pred = np.argmax(np.asarray(output['segmentation']), axis=-1)
         seg_label = np.asarray(labels['segmentation'])[..., 0]
         metric_vehicle.update(seg_pred[:, rf - 1:], sub(seg_label[:, rf - 1:]))

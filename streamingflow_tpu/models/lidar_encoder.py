@@ -520,6 +520,14 @@ class LidarBEVEncoder(nn.Module):
         cap0 = min(cfg.COLUMN_CAPS[0], shape[0] * shape[1])
         cs = jax.vmap(lambda f, i, m: colops.from_sites(
             f, i, m, shape, cap0))(feats, ids, mask)
+        # cap observability (VERDICT r3 item 6): active sites lost to the
+        # entry column capacity, and per-stage cap saturation below.  Sown
+        # into the 'diagnostics' collection — a no-op unless the caller
+        # requests it (train step / eval_forward surface it to logs).
+        self.sow('diagnostics', 'lidar_dropped_sites_entry',
+                 (jnp.sum(mask) - jnp.sum(cs.zmask)).astype(jnp.int32))
+        self.sow('diagnostics', 'lidar_columns_stage1',
+                 jnp.max(jnp.sum(cs.col_mask, axis=-1)).astype(jnp.int32))
         if trunc < 1:
             return early_out(cs, shape)
         geo = bmap(cs, shape[:2])
@@ -560,6 +568,16 @@ class LidarBEVEncoder(nn.Module):
                             ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
                             cap=cfg.COLUMN_CAPS[i + 1], formulation=form,
                             name=f'down{i + 1}')(cs, shape, train=train)
+                        # at-cap = the strided site generation truncated its
+                        # unique-output list: data was dropped this step
+                        per_cloud = jnp.sum(cs.col_mask, axis=-1)
+                        self.sow('diagnostics', f'lidar_columns_stage{i + 2}',
+                                 jnp.max(per_cloud).astype(jnp.int32))
+                        self.sow('diagnostics',
+                                 f'lidar_column_cap_hit_stage{i + 2}',
+                                 jnp.any(per_cloud
+                                         == cs.col_mask.shape[-1]
+                                         ).astype(jnp.int32))
                         geo = bmap(cs, shape[:2])
                 else:
                     if x is not None:

@@ -266,7 +266,7 @@ def make_train_step(cfg: Config):
             (output, weights), updates = state.apply_fn(
                 {'params': params, 'batch_stats': state.batch_stats},
                 **model_args, planning_inputs=planning_inputs, train=True,
-                rngs=rngs, mutable=['batch_stats'])
+                rngs=rngs, mutable=['batch_stats', 'diagnostics'])
             loss_dict = compute_losses(output, labels, weights, cfg)
             total = sum(loss_dict.values())
             return total, (loss_dict, updates)
@@ -276,17 +276,40 @@ def make_train_step(cfg: Config):
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=updates['batch_stats'])
         metrics = {'total_loss': total, **loss_dict}
+        # cap observability: static-capacity drop counters sown by the
+        # sparse engines (VERDICT r3 item 6) — surfaced so the train loop
+        # can warn instead of dropping data silently
+        for k, v in _flatten_diagnostics(
+                updates.get('diagnostics', {})).items():
+            metrics[f'diag/{k}'] = v
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def _flatten_diagnostics(tree) -> Dict[str, jnp.ndarray]:
+    """Sown 'diagnostics' collection -> flat {leaf_name: scalar} dict
+    (sow stores tuples; the counters here are single-valued)."""
+    out: Dict[str, jnp.ndarray] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        name = [p.key for p in path if hasattr(p, 'key')][-1]
+        out[name] = jnp.asarray(leaf).reshape(())
+    return out
+
+
 def eval_forward(state: TrainState, batch, cfg: Config, rng=None,
                  planning_inputs=None):
-    """Inference forward pass (running BN stats, no dropout)."""
+    """Inference forward pass (running BN stats, no dropout).
+
+    Static-capacity drop counters from the sparse engines come back under
+    ``output['diagnostics']`` (absent when no engine sowed any)."""
     model_args = batch_to_model_args(batch, cfg)
     rngs = {'sample': rng if rng is not None else jax.random.PRNGKey(0)}
-    output, _ = state.apply_fn(
+    (output, _), updates = state.apply_fn(
         {'params': state.params, 'batch_stats': state.batch_stats},
-        **model_args, planning_inputs=planning_inputs, train=False, rngs=rngs)
+        **model_args, planning_inputs=planning_inputs, train=False,
+        rngs=rngs, mutable=['diagnostics'])
+    diag = _flatten_diagnostics(updates.get('diagnostics', {}))
+    if diag:
+        output['diagnostics'] = diag
     return output

@@ -120,6 +120,15 @@ def main():
                 dt = time.time() - t0
                 print(f'epoch {epoch} step {global_step} '
                       f'loss {loss:.4f} ({dt:.1f}s)', flush=True)
+                # static-cap overflow is data loss — warn, don't be silent
+                for k, v in metrics.items():
+                    if (k.startswith('diag/') and
+                            ('dropped' in k or 'cap_hit' in k)
+                            and float(v) > 0):
+                        print(f'WARNING: sparse-engine capacity event '
+                              f'{k[5:]} = {int(v)} at step {global_step} — '
+                              f'raise MODEL.SPARSE_ENCODER caps '
+                              f'(tools/size_caps.py)', flush=True)
             if cfg.VIS_INTERVAL and global_step % cfg.VIS_INTERVAL == 0:
                 # BEV prediction video (reference trainer.py:396-409)
                 from streamingflow_tpu.utils.visualisation import \
