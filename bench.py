@@ -94,26 +94,25 @@ def _train_mode(cfg, n_points, reps):
         # params/opt state stay fp32 (optimizer math); inputs ride
         # COMPUTE_DTYPE inside the model
         pass
-    step = TR.make_train_step(cfg)
+    # packed state: params/BN-stats/Adam moments as fused vectors — the
+    # ~2,300-buffer tree state costs ~87 s/call of host dispatch on this
+    # runtime (per-buffer cost scales with loaded-executable size);
+    # packing returns the step to device-bound speed (docs/PERF.md)
+    packed = TR.pack_train_state(state)
+    jstep = TR.make_packed_train_step(cfg, state)
 
-    def once(state, rng):
-        state, metrics = step(state, batch, rng)
-        return state, metrics['total_loss']
-
-    jstep = jax.jit(once, donate_argnums=0)
-    lowered = jax.jit(once, donate_argnums=0).lower(
-        state, jax.random.PRNGKey(1))
+    lowered = jstep.lower(packed, batch, jax.random.PRNGKey(1))
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get('flops', 0.0)) if cost else 0.0
 
-    state, loss = jstep(state, jax.random.PRNGKey(1))
-    float(loss)   # sync after compile+first step
+    packed, metrics = jstep(packed, batch, jax.random.PRNGKey(1))
+    float(metrics['total_loss'])   # sync after compile+first step
     t0 = time.perf_counter()
     for i in range(reps):
-        state, loss = jstep(state, jax.random.PRNGKey(2 + i))
-    float(loss)
+        packed, metrics = jstep(packed, batch, jax.random.PRNGKey(2 + i))
+    float(metrics['total_loss'])
     dt = (time.perf_counter() - t0) / reps
     # v5e peak: 197 TFLOP/s bf16 (394 int8); XLA reports fp equivalents
     mfu = flops / dt / 197e12 if flops else 0.0

@@ -155,23 +155,26 @@ def _winfuse_kernel(starts_ref, rel_ref, bmats_ref, feats_ref, out_ref,
     @pl.when(b == 0)
     def _first():
         for d in range(3):
+            s0 = pl.multiple_of(starts_ref[d, 0], 8)
             pltpu.make_async_copy(
-                feats_ref.at[pl.ds(starts_ref[d, 0], window), :],
+                feats_ref.at[pl.ds(s0, window), :],
                 win_ref.at[0, d], sem.at[0, d]).start()
 
     @pl.when(b + 1 < nb)
     def _prefetch():
         for d in range(3):
+            sn = pl.multiple_of(starts_ref[d, b + 1], 8)
             pltpu.make_async_copy(
-                feats_ref.at[pl.ds(starts_ref[d, b + 1], window), :],
+                feats_ref.at[pl.ds(sn, window), :],
                 win_ref.at[1 - slot, d], sem.at[1 - slot, d]).start()
 
     dt = win_ref.dtype
     acc = jnp.zeros((block, out_ref.shape[-1]), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
     for d in range(3):
+        sb = pl.multiple_of(starts_ref[d, b], 8)
         pltpu.make_async_copy(
-            feats_ref.at[pl.ds(starts_ref[d, b], window), :],
+            feats_ref.at[pl.ds(sb, window), :],
             win_ref.at[slot, d], sem.at[slot, d]).wait()
         w = win_ref[slot, d]
         for j in range(3):

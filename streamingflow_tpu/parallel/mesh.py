@@ -43,11 +43,17 @@ def shard_batch(batch, mesh: Mesh):
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
-def make_data_parallel_step(cfg: Config, mesh: Mesh):
-    """Jitted train step with batch sharded over 'data', state replicated."""
+def make_data_parallel_step(cfg: Config, mesh: Mesh, template=None):
+    """Jitted train step with batch sharded over 'data', state replicated.
+
+    With ``template`` (a TrainState) the step runs over the fused-vector
+    PackedTrainState (trainer.make_packed_train_step) — the production
+    single-host path; without it, the tree-state step (used by the
+    multichip grad-parity tests, which compare tree leaves)."""
     from ..training import trainer as TR
 
-    base_step = TR.make_train_step(cfg)
+    base_step = (TR.make_packed_train_step(cfg, template)
+                 if template is not None else TR.make_train_step(cfg))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P('data'))
 

@@ -8,7 +8,7 @@ parameter tree under 'task_weights' and are trained jointly.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -295,6 +295,130 @@ def _flatten_diagnostics(tree) -> Dict[str, jnp.ndarray]:
         name = [p.key for p in path if hasattr(p, 'key')][-1]
         out[name] = jnp.asarray(leaf).reshape(())
     return out
+
+
+class PackedTrainState(NamedTuple):
+    """TrainState with params / BN stats / Adam moments fused into single
+    fp32 vectors.
+
+    The training state of the flagship model is ~2,300 small buffers
+    (params + Adam m/v + BN stats).  Measured on the v5e runtime, per-call
+    dispatch cost grows with (argument buffer count x loaded-executable
+    size): the flagship train step spent ~87 s/call in host-side dispatch
+    against ~0.9 s of device compute (docs/PERF.md round-4 notes).  Fusing
+    the state into three flat vectors (params, batch_stats, m/v inside the
+    optax state) collapses the call surface to ~8 buffers and returns the
+    step to device-bound speed — and is good production hygiene regardless
+    (single contiguous DMA per state tensor, no tiny-buffer bookkeeping).
+
+    `opt_state` keeps the optax chain structure with ScaleByAdamState's
+    mu/nu as flat vectors (exact round-trip to/from the unpacked state, so
+    checkpoints stay in the portable unpacked layout)."""
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Any
+
+
+def _pack_adam(opt_state):
+    from jax.flatten_util import ravel_pytree
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                s.count, ravel_pytree(s.mu)[0], ravel_pytree(s.nu)[0])
+        return s
+    return jax.tree_util.tree_map(
+        fix, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+
+
+def _unpack_adam(opt_state, p_unravel):
+    def fix(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                s.count, p_unravel(s.mu), p_unravel(s.nu))
+        return s
+    return jax.tree_util.tree_map(
+        fix, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+
+
+def _unravel_like(tree):
+    """Unravel closure from shapes/dtypes only — safe on a template whose
+    buffers were donated away (aval metadata survives deletion)."""
+    import numpy as np
+
+    from jax.flatten_util import ravel_pytree
+    skel = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), tree)
+    return ravel_pytree(skel)[1]
+
+
+def pack_train_state(state: TrainState) -> PackedTrainState:
+    from jax.flatten_util import ravel_pytree
+    packed = PackedTrainState(
+        params=ravel_pytree(state.params)[0],
+        batch_stats=ravel_pytree(state.batch_stats)[0],
+        opt_state=_pack_adam(state.opt_state),
+        step=state.step)
+    # defensive copies: pass-through leaves (step, Adam count) must not
+    # alias `state`'s buffers — both step variants donate their input state
+    return jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, 'dtype') else x,
+                        packed)
+
+
+def unpack_train_state(packed: PackedTrainState,
+                       template: TrainState) -> TrainState:
+    """Back to the portable tree layout (checkpoints, eval_forward)."""
+    p_unravel = _unravel_like(template.params)
+    b_unravel = _unravel_like(template.batch_stats)
+    return template.replace(
+        params=p_unravel(packed.params),
+        batch_stats=b_unravel(packed.batch_stats),
+        opt_state=_unpack_adam(packed.opt_state, p_unravel),
+        step=packed.step)
+
+
+def make_packed_train_step(cfg: Config, template: TrainState):
+    """The production single-chip train step over a PackedTrainState.
+
+    Numerically identical to make_train_step (same loss, clip->wd->adam
+    chain, BN-stat updates) — proven by
+    tests/test_model.py::test_packed_train_step_matches_unpacked."""
+    from jax.flatten_util import ravel_pytree
+    p_unravel = _unravel_like(template.params)
+    b_unravel = _unravel_like(template.batch_stats)
+    apply_fn, tx = template.apply_fn, template.tx
+
+    def train_step(packed: PackedTrainState, batch, rng
+                   ) -> Tuple[PackedTrainState, Dict[str, jnp.ndarray]]:
+        labels = prepare_future_labels(batch, cfg)
+        model_args = batch_to_model_args(batch, cfg)
+        rngs = {'dropout': rng, 'sample': jax.random.fold_in(rng, 1)}
+        planning_inputs = build_planning_inputs(batch, labels, cfg)
+
+        def loss_fn(pflat):
+            (output, weights), updates = apply_fn(
+                {'params': p_unravel(pflat),
+                 'batch_stats': b_unravel(packed.batch_stats)},
+                **model_args, planning_inputs=planning_inputs, train=True,
+                rngs=rngs, mutable=['batch_stats', 'diagnostics'])
+            loss_dict = compute_losses(output, labels, weights, cfg)
+            return sum(loss_dict.values()), (loss_dict, updates)
+
+        (total, (loss_dict, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(packed.params)
+        upd, new_opt = tx.update(grads, packed.opt_state, packed.params)
+        new_params = optax.apply_updates(packed.params, upd)
+        new_bstats = ravel_pytree(updates['batch_stats'])[0]
+        metrics = {'total_loss': total, **loss_dict}
+        for k, v in _flatten_diagnostics(
+                updates.get('diagnostics', {})).items():
+            metrics[f'diag/{k}'] = v
+        return (PackedTrainState(new_params, new_bstats, new_opt,
+                                 packed.step + 1), metrics)
+
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def eval_forward(state: TrainState, batch, cfg: Config, rng=None,

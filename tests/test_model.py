@@ -82,3 +82,44 @@ class TestTrainStep:
         assert labels['segmentation'].shape[1] == T
         assert labels['instance'].ndim == 4
         assert labels['depths'].dtype == jnp.int32
+
+
+def test_packed_train_step_matches_unpacked():
+    """The fused-vector production step (trainer.make_packed_train_step)
+    must equal the tree-state step exactly: same loss, same params after
+    one clip->wd->adam update, same BN stats.  (The packing exists because
+    ~2,300-buffer states cost ~87 s/call of host dispatch on the target
+    runtime — docs/PERF.md round-4 notes.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from streamingflow_tpu.data import make_batch, tiny_config
+    from streamingflow_tpu.training import trainer as TR
+
+    cfg = tiny_config()
+    cfg.MODEL.MODALITY.USE_LIDAR = True
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, batch_size=1, n_points=128).items()}
+    state = TR.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(7)
+
+    # pack before the tree step runs: both steps donate their state input
+    packed = TR.pack_train_state(state)
+    packed_step = TR.make_packed_train_step(cfg, state)
+
+    s1, m1 = TR.make_train_step(cfg)(state, batch, rng)
+    p2, m2 = packed_step(packed, batch, rng)
+    s2 = TR.unpack_train_state(p2, state)
+
+    np.testing.assert_allclose(float(m1['total_loss']),
+                               float(m2['total_loss']), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7),
+        s1.params, s2.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-6),
+        s1.batch_stats, s2.batch_stats)
+    assert int(s2.step) == int(s1.step)

@@ -87,7 +87,7 @@ def main():
         state, n = warm_start(state, cfg.PRETRAINED.PATH)
         print(f'warm start: loaded {n} tensors from {cfg.PRETRAINED.PATH} '
               '(decoder dropped)')
-    step_fn = make_data_parallel_step(cfg, mesh)
+    step_fn = make_data_parallel_step(cfg, mesh, template=state)
     eval_fwd = jax.jit(lambda s, b: TR.eval_forward(s, b, cfg))
 
     save_dir = os.path.join(cfg.LOG_DIR, cfg.TAG, 'checkpoints')
@@ -98,6 +98,10 @@ def main():
         print(f'resuming from checkpoint step {latest}')
         state = ckpt.restore(state, latest)
         start_epoch = latest
+
+    # fused-vector state for the hot loop (checkpoints/eval stay in the
+    # portable tree layout): see trainer.PackedTrainState
+    packed = TR.pack_train_state(state)
 
     logger = MetricsLogger(os.path.join(cfg.LOG_DIR, cfg.TAG))
     profiler = SimpleProfiler()
@@ -111,7 +115,7 @@ def main():
                          if isinstance(v, np.ndarray)}
             rng, step_rng = jax.random.split(rng)
             with profiler.span('train_step'):
-                state, metrics = step_fn(state, batch, step_rng)
+                packed, metrics = step_fn(packed, batch, step_rng)
             global_step += 1
             if global_step % cfg.LOGGING_INTERVAL == 0 or global_step == 1:
                 loss = float(metrics['total_loss'])
@@ -134,11 +138,13 @@ def main():
                 from streamingflow_tpu.utils.visualisation import \
                     visualise_output
                 labels = TR.prepare_future_labels(batch, cfg)
-                output = eval_fwd(state, batch)
+                output = eval_fwd(TR.unpack_train_state(packed, state),
+                                  batch)
                 frames = visualise_output(
                     jax.device_get(labels), jax.device_get(output),
                     n_present=cfg.TIME_RECEPTIVE_FIELD)
                 logger.video('train_outputs', frames, global_step)
+        state = TR.unpack_train_state(packed, state)
         with profiler.span('checkpoint'):
             ckpt.save(epoch + 1, state, cfg)
         with profiler.span('validation'):
