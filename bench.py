@@ -40,6 +40,8 @@ def full_cfg():
     # sparse-engine sweep knobs (docs/PERF.md "tiled engine")
     se = cfg.MODEL.SPARSE_ENCODER
     se.ENGINE = os.environ.get('STREAMINGFLOW_BENCH_SPARSE_ENGINE', se.ENGINE)
+    se.Z_FORMULATION = os.environ.get('STREAMINGFLOW_BENCH_ZFORM',
+                                      se.Z_FORMULATION)
     if 'STREAMINGFLOW_BENCH_TILE_SHAPE' in os.environ:
         se.TILE_SHAPE = tuple(int(x) for x in os.environ[
             'STREAMINGFLOW_BENCH_TILE_SHAPE'].split(','))
@@ -126,6 +128,7 @@ def _train_mode(cfg, n_points, reps):
         'mode': 'train',
         'backbone': cfg.MODEL.LIDAR.BACKBONE,
         'sparse_engine': cfg.MODEL.SPARSE_ENCODER.ENGINE,
+        'z_formulation': cfg.MODEL.SPARSE_ENCODER.Z_FORMULATION,
         'bev_pool_backend': cfg.MODEL.BEV_POOL_BACKEND,
         'remat': cfg.MODEL.REMAT,
     }))
@@ -216,6 +219,7 @@ def main():
         'mode': 'forward',
         'backbone': cfg.MODEL.LIDAR.BACKBONE,
         'sparse_engine': cfg.MODEL.SPARSE_ENCODER.ENGINE,
+        'z_formulation': cfg.MODEL.SPARSE_ENCODER.Z_FORMULATION,
         'bev_pool_backend': cfg.MODEL.BEV_POOL_BACKEND,
     }))
 

@@ -51,9 +51,11 @@ from .voxelize import LARGE_ID
 # bounded by the column density profile: measured max in-window spans stay
 # under ~304 rows for block=256 on LiDAR-like clouds at every stage
 # (tools/exp_window_stats.py); 384 adds the 8-row alignment slack plus
-# safety margin, and overflows fall back to the residual path.
+# safety margin, and overflows fall back to the residual path.  352 (not
+# 384): at stage-1 flagship shapes the kernel's VMEM budget (bmats 8.5M +
+# 2x3 windows + out/acc) overflows the 16M scoped limit by 48K at 384.
 BLOCK = 256
-WINDOW = 384
+WINDOW = 352
 
 
 class FusedPlan(NamedTuple):
@@ -155,7 +157,7 @@ def _winfuse_kernel(starts_ref, rel_ref, bmats_ref, feats_ref, out_ref,
     @pl.when(b == 0)
     def _first():
         for d in range(3):
-            s0 = pl.multiple_of(starts_ref[d, 0], 8)
+            s0 = pl.multiple_of((starts_ref[d, 0] // 8) * 8, 8)
             pltpu.make_async_copy(
                 feats_ref.at[pl.ds(s0, window), :],
                 win_ref.at[0, d], sem.at[0, d]).start()
@@ -163,7 +165,7 @@ def _winfuse_kernel(starts_ref, rel_ref, bmats_ref, feats_ref, out_ref,
     @pl.when(b + 1 < nb)
     def _prefetch():
         for d in range(3):
-            sn = pl.multiple_of(starts_ref[d, b + 1], 8)
+            sn = pl.multiple_of((starts_ref[d, b + 1] // 8) * 8, 8)
             pltpu.make_async_copy(
                 feats_ref.at[pl.ds(sn, window), :],
                 win_ref.at[1 - slot, d], sem.at[1 - slot, d]).start()
@@ -172,7 +174,7 @@ def _winfuse_kernel(starts_ref, rel_ref, bmats_ref, feats_ref, out_ref,
     acc = jnp.zeros((block, out_ref.shape[-1]), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
     for d in range(3):
-        sb = pl.multiple_of(starts_ref[d, b], 8)
+        sb = pl.multiple_of((starts_ref[d, b] // 8) * 8, 8)
         pltpu.make_async_copy(
             feats_ref.at[pl.ds(sb, window), :],
             win_ref.at[slot, d], sem.at[slot, d]).wait()
@@ -200,10 +202,18 @@ def _winfuse_pallas(feats: jnp.ndarray, starts: jnp.ndarray,
     cap, L = feats.shape
     n_blocks = rel.shape[0]
     l_out = bmats.shape[-1]
-    # row-pad so any 8-aligned start + window stays in bounds
+    # row-pad so any 8-aligned start + window stays in bounds; lane-pad to
+    # a 128 multiple — dynamic HBM window DMA requires whole lane tiles
+    # (measured: a (W, 656) slice of a 656-lane memref fails Mosaic's
+    # divisibility check, 768 passes).  The pad lanes are zeros and the
+    # matching bmats rows are zero, so results are unchanged.
     rows = max(window, ((cap + 7) // 8) * 8)
-    if rows > cap:
-        feats = jnp.pad(feats, ((0, rows - cap), (0, 0)))
+    l_pad = ((L + 127) // 128) * 128
+    if rows > cap or l_pad > L:
+        feats = jnp.pad(feats, ((0, rows - cap), (0, l_pad - L)))
+    if l_pad > L:
+        bmats = jnp.pad(bmats, ((0, 0), (0, l_pad - L), (0, 0)))
+        L = l_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
