@@ -114,6 +114,59 @@ def pillarize(points: jnp.ndarray, point_mask: jnp.ndarray,
     return feats.reshape(nx, ny, -1)
 
 
+def pillarize_batch(points: jnp.ndarray, point_mask: jnp.ndarray,
+                    point_cloud_range, voxel_size, n_z_bins: int = 8,
+                    out_dtype=jnp.float32, presorted: bool = False):
+    """Batched pillarize: (B, P, C) -> (B, F, nx, ny) in ONE kernel launch.
+
+    Clouds are concatenated with per-cloud bin offsets that are multiples
+    of the kernel's BINS_PER_TILE, so tiles never straddle clouds and the
+    per-cloud tile-sorted order (MODEL.LIDAR.TILE_SORTED_POINTS) remains
+    globally sorted.  One launch instead of B: on this runtime per-call
+    dispatch overhead is a first-class cost (docs/PERF.md round 4), and
+    the B x 80k-row reduction amortises the grid the same way."""
+    from ..ops.pallas_bin import BINS_PER_TILE, bin_sum
+
+    B, P, C = points.shape
+    pc = jnp.asarray(point_cloud_range, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    nx = int(round(float((point_cloud_range[3] - point_cloud_range[0])
+                         / voxel_size[0])))
+    ny = int(round(float((point_cloud_range[4] - point_cloud_range[1])
+                         / voxel_size[1])))
+    z_lo, z_hi = float(point_cloud_range[2]), float(point_cloud_range[5])
+    n_pillars = nx * ny
+    per_cloud = -(-(n_pillars + 1) // BINS_PER_TILE) * BINS_PER_TILE
+
+    flat = points.reshape(B * P, C)
+    fmask = point_mask.reshape(B * P)
+    cx = jnp.floor((flat[:, 0] - pc[0]) / vs[0]).astype(jnp.int32)
+    cy = jnp.floor((flat[:, 1] - pc[1]) / vs[1]).astype(jnp.int32)
+    inb = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+           & (flat[:, 2] >= z_lo) & (flat[:, 2] < z_hi) & fmask)
+    base = (jnp.arange(B, dtype=jnp.int32) * per_cloud
+            ).repeat(P)                                  # (B*P,)
+    pid = base + jnp.where(inb, cx * ny + cy, n_pillars)
+
+    z = flat[:, 2]
+    zbin = jnp.clip(((z - z_lo) / (z_hi - z_lo) * n_z_bins).astype(jnp.int32),
+                    0, n_z_bins - 1)
+    data = jnp.concatenate([
+        jnp.ones((flat.shape[0], 1), jnp.float32),
+        flat,
+        (z * z)[:, None],
+        jax.nn.one_hot(zbin, n_z_bins, dtype=jnp.float32),
+    ], axis=-1)
+    data = jnp.where(inb[:, None], data, 0.0)
+
+    feats = bin_sum(data, pid, n_bins=B * per_cloud,
+                    finalize=_pillar_finalize(C), out_dtype=out_dtype,
+                    exact=False, presorted=presorted, transposed_out=True)
+    f = feats.shape[0]
+    feats = feats.reshape(f, B, per_cloud)[:, :, :n_pillars]
+    return jnp.transpose(feats, (1, 0, 2)).reshape(B, f, nx, ny)
+
+
 # Lowering for the ladder's 3x3 convs: 'xla' (native conv) or 'taps'
 # (9 shifted matmuls — same params/paths, identical numerics; see
 # layers/conv.py::DilatedConv3x3).  XLA convs at the 400^2 / 64-out shapes
@@ -158,18 +211,17 @@ class PillarBEVEncoder(nn.Module):
         flat = points.reshape(B * T, P, C)
         pmask = jnp.any(flat[..., :3] != 0, axis=-1)
 
-        # python loop, not vmap: pillarize uses the Pallas binning kernel
-        # (scalar-prefetch grids don't batch); the per-frame programs are
-        # identical so XLA compiles the body once.  bf16 straight out of the
-        # kernel epilogue: HBM traffic dominates this branch.  Channel-first
-        # layout: transposing the kernel's (F, bins) output at F=15 wastes
-        # 7/8 of each lane tile (~17 ms at 1600^2); the space-to-depth below
-        # transposes once at 240 channels instead, where lanes are full.
-        h = jnp.stack([
-            pillarize(flat[i], pmask[i], cfg.POINT_CLOUD_RANGE,
-                      cfg.VOXEL_SIZE, self.n_z_bins, out_dtype=jnp.bfloat16,
-                      presorted=self.tile_sorted, layout='cf')
-            for i in range(B * T)])                       # (BT, F, nx, ny)
+        # ONE batched kernel launch for all B*T clouds (per-cloud bin
+        # offsets at tile granularity — see pillarize_batch): per-call
+        # dispatch overhead is a first-class cost on this runtime.  bf16
+        # straight out of the kernel epilogue: HBM traffic dominates this
+        # branch.  Channel-first layout: transposing the kernel's (F, bins)
+        # output at F=15 wastes 7/8 of each lane tile (~17 ms at 1600^2);
+        # the space-to-depth below transposes once at 240 channels instead.
+        h = pillarize_batch(flat, pmask, cfg.POINT_CLOUD_RANGE,
+                            cfg.VOXEL_SIZE, self.n_z_bins,
+                            out_dtype=jnp.bfloat16,
+                            presorted=self.tile_sorted)   # (BT, F, nx, ny)
 
         # Space-to-depth 4x straight out of the pillar grid: at 0.0625 m the
         # active density is ~0.3%, so dense full-res convs would do ~300x
