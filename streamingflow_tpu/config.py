@@ -215,8 +215,9 @@ class SparseEncoderConfig:
     Z_FORMULATION: str = 'sep'
     # 'winfuse' window rows per dx slice (>= WINDOW_BLOCK + 16; measured
     # per-block spans stay < 304 at block 256, tools/exp_window_stats.py;
-    # >=352 overflows the 16M scoped VMEM at stage-1 shapes)
-    WINFUSE_WINDOW: int = 320
+    # >=320 overflows the 16M scoped VMEM at stage-1 shapes with the
+    # required fp32 matmul accumulator)
+    WINFUSE_WINDOW: int = 304
     # 'win' formulation geometry: sorted ids make per-tap sources
     # MONOTONE, so WINDOW_BLOCK consecutive columns read one contiguous
     # WINDOW_WIDTH-row slice per dx (measured widths stay < 304 at

@@ -174,6 +174,13 @@ def pillarize_batch(points: jnp.ndarray, point_mask: jnp.ndarray,
 # (tools/exp_pillar_convforms.py) decides the default on TPU.
 PILLAR_CONV_BACKEND = os.environ.get('STREAMINGFLOW_PILLAR_CONV', 'xla')
 
+# 'loop' (per-cloud kernel launches) or 'batch' (one launch, per-cloud bin
+# offsets).  Judge A/B round 4: loop 10.05 vs batch 9.19 forecasts/s at
+# flagship shape on v5e — the batched variant's padded (B*per_cloud) bin
+# axis costs more than the saved dispatches.  Re-A/B with
+# STREAMINGFLOW_PILLARIZE=batch when the runtime's dispatch cost changes.
+PILLARIZE_BACKEND = os.environ.get('STREAMINGFLOW_PILLARIZE', 'loop')
+
 
 class ConvBNReLU(nn.Module):
     features: int
@@ -211,17 +218,27 @@ class PillarBEVEncoder(nn.Module):
         flat = points.reshape(B * T, P, C)
         pmask = jnp.any(flat[..., :3] != 0, axis=-1)
 
-        # ONE batched kernel launch for all B*T clouds (per-cloud bin
-        # offsets at tile granularity — see pillarize_batch): per-call
-        # dispatch overhead is a first-class cost on this runtime.  bf16
-        # straight out of the kernel epilogue: HBM traffic dominates this
-        # branch.  Channel-first layout: transposing the kernel's (F, bins)
-        # output at F=15 wastes 7/8 of each lane tile (~17 ms at 1600^2);
-        # the space-to-depth below transposes once at 240 channels instead.
-        h = pillarize_batch(flat, pmask, cfg.POINT_CLOUD_RANGE,
-                            cfg.VOXEL_SIZE, self.n_z_bins,
-                            out_dtype=jnp.bfloat16,
-                            presorted=self.tile_sorted)   # (BT, F, nx, ny)
+        # Two equivalent formulations (A/B'd on the v5e each round —
+        # docs/PERF.md): 'loop' launches the binning kernel per cloud
+        # (XLA compiles the identical body once); 'batch' concatenates
+        # clouds with per-cloud bin offsets at tile granularity for ONE
+        # launch.  bf16 straight out of the kernel epilogue: HBM traffic
+        # dominates this branch.  Channel-first layout: transposing the
+        # kernel's (F, bins) output at F=15 wastes 7/8 of each lane tile
+        # (~17 ms at 1600^2); the space-to-depth below transposes once at
+        # 240 channels instead, where lanes are full.
+        if PILLARIZE_BACKEND == 'batch':
+            h = pillarize_batch(flat, pmask, cfg.POINT_CLOUD_RANGE,
+                                cfg.VOXEL_SIZE, self.n_z_bins,
+                                out_dtype=jnp.bfloat16,
+                                presorted=self.tile_sorted)
+        else:
+            h = jnp.stack([
+                pillarize(flat[i], pmask[i], cfg.POINT_CLOUD_RANGE,
+                          cfg.VOXEL_SIZE, self.n_z_bins,
+                          out_dtype=jnp.bfloat16,
+                          presorted=self.tile_sorted, layout='cf')
+                for i in range(B * T)])                   # (BT, F, nx, ny)
 
         # Space-to-depth 4x straight out of the pillar grid: at 0.0625 m the
         # active density is ~0.3%, so dense full-res convs would do ~300x

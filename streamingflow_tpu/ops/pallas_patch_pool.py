@@ -225,22 +225,53 @@ def _pool_fwd(x, coords, kept, nx, ny, interpret):
     return out, (coords, kept, token)
 
 
+def _fits_mask(coords: jnp.ndarray, kept: jnp.ndarray, nx: int, ny: int):
+    """Recompute the kernel's per-group within-budget predicate.
+
+    Mirrors `_one_group`: rows are grouped (N, D, fW//UBLOCK); the patch
+    origin is the group's kept-coordinate min (x floor-free, y floored to
+    the sublane tile), clamped into the grid; a row fits iff its local
+    coords land inside the PATCH_H x PATCH_W window.  Rows that do NOT fit
+    were dropped by the forward and must get zero cotangent."""
+    f, n, d, fh, fw = kept.shape
+    wb = -(-fw // UBLOCK)
+    pad_w = wb * UBLOCK - fw
+    if pad_w:
+        coords = jnp.pad(coords, ((0, 0),) * 4 + ((0, pad_w), (0, 0)))
+        kept = jnp.pad(kept, ((0, 0),) * 4 + ((0, pad_w),))
+    cx = coords[..., 0].reshape(f, n, d, fh, wb, UBLOCK)
+    cy = coords[..., 1].reshape(f, n, d, fh, wb, UBLOCK)
+    k = kept.reshape(f, n, d, fh, wb, UBLOCK)
+    big = jnp.int32(2 ** 30)
+    minx = jnp.min(jnp.where(k, cx, big), axis=(3, 5), keepdims=True)
+    miny = jnp.min(jnp.where(k, cy, big), axis=(3, 5), keepdims=True)
+    x0 = jnp.clip(minx, 0, nx - PATCH_H)
+    y0 = jnp.clip((miny // 8) * 8, 0, ny - PATCH_W)
+    lx = cx - x0
+    ly = cy - y0
+    fits = (k & (lx >= 0) & (lx < PATCH_H) & (ly >= 0) & (ly < PATCH_W))
+    fits = fits.reshape(f, n, d, fh, wb * UBLOCK)
+    return fits[..., :fw]
+
+
 def _pool_bwd(nx, ny, interpret, res, cots):
     """Backward of the patch pool: the pool is a masked scatter-add of rows
     into bins, so d/dx is a per-row gather of the output cotangent at each
-    row's bin (VERDICT r3 item 1a).  Rows the forward dropped for exceeding
-    the patch budget receive the same gather (a no-op in practice: the drop
-    counter is asserted zero in tests and zero on nuScenes calibrations)."""
+    row's bin (VERDICT r3 item 1a).  The gather is masked with the SAME
+    within-budget predicate the forward kernel applies (`_fits_mask`) —
+    rows dropped for exceeding the patch budget contributed nothing to the
+    output and get exactly zero gradient (VERDICT r4 item 7)."""
     dout, _ddrops = cots
     coords, kept, token = res
     f = dout.shape[0]
     n_chan = dout.shape[-1]
+    fits = _fits_mask(coords, kept, nx, ny)               # (F, N, D, fH, fW)
     flat = dout.reshape(f, nx * ny, n_chan)
     cid = coords[..., 0] * ny + coords[..., 1]            # (F, N, D, fH, fW)
-    cid = jnp.where(kept, cid, 0).reshape(f, -1)
+    cid = jnp.where(fits, cid, 0).reshape(f, -1)
     g = jnp.take_along_axis(flat, cid[..., None], axis=1)  # (F, rows, C)
     g = g.reshape(*kept.shape, n_chan)
-    g = jnp.where(kept[..., None], g, 0.0)
+    g = jnp.where(fits[..., None], g, 0.0)
     return (g[..., :token.shape[1]].astype(token.dtype), None, None)
 
 

@@ -51,14 +51,15 @@ from .voxelize import LARGE_ID
 # bounded by the column density profile: measured max in-window spans stay
 # under ~304 rows for block=256 on LiDAR-like clouds at every stage
 # (tools/exp_window_stats.py); 384 adds the 8-row alignment slack plus
-# safety margin, and overflows fall back to the residual path.  320 (not
-# 384): at stage-1 flagship shapes the kernel's VMEM budget (bmats 8.5M +
-# 2x3 windows + out/acc) overflows the 16M scoped limit at 384 in eval and
-# at 352 inside the rematted train backward; overflowing spans ride the
-# residual path, so a tighter window trades a little speed, never
+# safety margin, and overflows fall back to the residual path.  304 (not
+# 384): at stage-1 flagship shapes the kernel's VMEM budget (bmats ~9M +
+# 2x3 windows + fp32 acc) overflows the 16M scoped limit by 48K at 320 —
+# Mosaic REQUIRES the fp32 matmul accumulator ('Expected matmul acc to be
+# 32-bit'), so the headroom must come from the window; overflowing spans
+# ride the residual path, so a tighter window trades a little speed, never
 # correctness.
 BLOCK = 256
-WINDOW = 320
+WINDOW = 304
 
 
 class FusedPlan(NamedTuple):
@@ -174,10 +175,10 @@ def _winfuse_kernel(starts_ref, rel_ref, bmats_ref, feats_ref, out_ref,
                 win_ref.at[1 - slot, d], sem.at[1 - slot, d]).start()
 
     dt = win_ref.dtype
-    # accumulate across taps in the compute dtype — the XLA 'sep'
-    # formulation sums its 9 tap dots in dt too, so this matches the
-    # engine-agreement summation semantics and saves 336K of scoped VMEM
-    acc = jnp.zeros((block, out_ref.shape[-1]), dt)
+    # fp32 accumulator: Mosaic requires 32-bit matmul accumulation
+    # ('tpu.matmul' op Expected matmul acc to be 32-bit — a bf16 acc fails
+    # kernel verification on v5e); the VMEM headroom comes from window 320
+    acc = jnp.zeros((block, out_ref.shape[-1]), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
     for d in range(3):
         sb = pl.multiple_of((starts_ref[d, b] // 8) * 8, 8)
@@ -194,7 +195,7 @@ def _winfuse_kernel(starts_ref, rel_ref, bmats_ref, feats_ref, out_ref,
                 preferred_element_type=jnp.float32).astype(dt)
             acc += jax.lax.dot_general(
                 tap, bmats_ref[k], (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)
+                preferred_element_type=jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 

@@ -133,6 +133,46 @@ def test_budget_violation_is_counted_not_silent():
     assert float(drops[0]) > 0.0
 
 
+def test_dropped_rows_get_zero_gradient():
+    """Force budget drops (VERDICT r4 item 7): the VJP must zero the
+    cotangent of rows the forward dropped.  Verified against the forward
+    itself via linearity — the pool is linear in x, so for any probe dx,
+    <grad, dx> must equal sum(f(dx) * w); a gradient that gathers at
+    dropped rows breaks this identity for probes supported on them."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 1, 4, 8, 64).astype(np.float32))
+    cells = rng.randint(0, NX, (1, 1, 4, 8, 2)).astype(np.int32)
+    coords = jnp.asarray(cells)
+    kept = jnp.ones((1, 1, 4, 8), bool)
+    w = jnp.asarray(rng.randn(NX, NY, 64).astype(np.float32))
+
+    def pool(v):
+        out, _ = patch_pool_frames(v[None], coords[None], kept[None],
+                                   NX, NY, interpret=True)
+        return out[0]
+
+    _, drops = patch_pool_frames(x[None], coords[None], kept[None],
+                                 NX, NY, interpret=True)
+    assert float(drops[0]) > 0.0, 'scenario must force budget drops'
+
+    g = jax.grad(lambda v: jnp.sum(pool(v) * w))(x)
+    for seed in range(3):
+        dx = jnp.asarray(np.random.RandomState(seed)
+                         .randn(*x.shape).astype(np.float32))
+        # the kernel rides bf16 feature lanes: pre-round the probe so the
+        # identity is exact (pool is linear in the bf16-rounded input)
+        dx = dx.astype(jnp.bfloat16).astype(jnp.float32)
+        lhs = float(jnp.vdot(g, dx))
+        rhs = float(jnp.sum(pool(dx) * w))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4, atol=1e-3)
+
+    # and directly: rows the forward dropped carry exactly zero grad
+    from streamingflow_tpu.ops.pallas_patch_pool import _fits_mask
+    fits = np.asarray(_fits_mask(coords[None], kept[None], NX, NY))[0]
+    assert not fits.all()
+    np.testing.assert_array_equal(np.asarray(g)[~fits], 0.0)
+
+
 def test_boundary_clamp_keeps_edge_cells():
     """Cells at the far grid corner: window clamp must still place them."""
     x = jnp.ones((1, 1, 4, 8, 64), jnp.float32)
