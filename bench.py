@@ -42,6 +42,13 @@ def full_cfg():
     se.ENGINE = os.environ.get('STREAMINGFLOW_BENCH_SPARSE_ENGINE', se.ENGINE)
     se.Z_FORMULATION = os.environ.get('STREAMINGFLOW_BENCH_ZFORM',
                                       se.Z_FORMULATION)
+    if 'STREAMINGFLOW_BENCH_DENSE_FROM' in os.environ:
+        # dense-tail entry stage (execution strategy only — the parameter
+        # tree is engine-portable, so this does not change what model is
+        # being trained).  Train at flagship scale fits HBM at 4 (stage 3
+        # stays columnar: 2.3x smaller activations than the dense grid).
+        se.DENSE_TAIL_FROM_STAGE = int(
+            os.environ['STREAMINGFLOW_BENCH_DENSE_FROM'])
     if 'STREAMINGFLOW_BENCH_TILE_SHAPE' in os.environ:
         se.TILE_SHAPE = tuple(int(x) for x in os.environ[
             'STREAMINGFLOW_BENCH_TILE_SHAPE'].split(','))
@@ -89,8 +96,9 @@ def _train_mode(cfg, n_points, reps):
     from streamingflow_tpu.data import make_batch
     from streamingflow_tpu.training import trainer as TR
 
+    bsz = int(os.environ.get('STREAMINGFLOW_BENCH_BATCH', '1'))
     batch = {k: jnp.asarray(v) for k, v in
-             make_batch(cfg, batch_size=1, n_points=n_points).items()}
+             make_batch(cfg, batch_size=bsz, n_points=n_points).items()}
     state = TR.create_train_state(cfg, jax.random.PRNGKey(0), batch)
     if os.environ.get('STREAMINGFLOW_BENCH_DTYPE', 'bf16') == 'bf16':
         # params/opt state stay fp32 (optimizer math); inputs ride
@@ -122,6 +130,7 @@ def _train_mode(cfg, n_points, reps):
         'metric': 'train forecasts/sec/chip (fwd+bwd+adam)',
         'value': round(1.0 / dt, 3),
         'unit': 'steps/s',
+        'batch_size': bsz,
         'vs_baseline': round((1.0 / dt) / 10.0, 3),
         'step_flops': flops,
         'mfu_vs_197tf_bf16': round(mfu, 4),

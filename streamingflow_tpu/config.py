@@ -244,6 +244,13 @@ class SparseEncoderConfig:
     # divisible by the conv strides (2).  Smaller tiles waste fewer FLOPs
     # on empty cells but need more tile slots; tune per hardware.
     TILE_SHAPE: Tuple[int, int, int] = (8, 8, 8)
+    # rematerialise each ladder block (subm conv / basic block / strided
+    # down) individually: the backward recomputes one block's tap stacks
+    # and activations at a time instead of holding the whole 4-stage x
+    # 5-cloud ladder live (whole-ladder backward needs 84G vs 15.75G HBM
+    # on v5e at flagship scale — docs/PERF.md round 5).  Free for
+    # inference (forward-only jit computes each block once).
+    REMAT_LADDER: bool = True
     # LiDAR-branch compute dtype: 'auto' follows the points dtype;
     # 'bfloat16' runs the conv ladder in bf16 while POINTS STAY fp32 (voxel
     # quantisation is precision-sensitive: bf16 ulp at 54 m range exceeds

@@ -84,11 +84,16 @@ class MaskedBatchNorm(nn.Module):
             return jnp.where(mrep, y, 0.0)
 
         if train:
-            m = mask[..., None].astype(x.dtype)
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
-            var = jnp.sum(((x - mean) ** 2) * m,
-                          axis=tuple(range(x.ndim - 1))) / n
+            # fp32 statistics via fused reductions (xf/mf are consumed only
+            # by the sums, so XLA folds the casts into the reduce — no fp32
+            # copy of x is materialised), exactly like the fused branch
+            mf = mask[..., None].astype(jnp.float32)
+            xf = x.astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(mf), 1.0)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.sum(xf * mf, axis=red) / n
+            var = jnp.maximum(
+                jnp.sum(xf * xf * mf, axis=red) / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -97,7 +102,14 @@ class MaskedBatchNorm(nn.Module):
                                 + (1 - self.momentum) * unbiased)
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        # normalise in the INPUT dtype: `scale`/`bias` are fp32 params, and
+        # an uncast multiply promotes the whole activation (and, in train,
+        # its gradient) to fp32 — at the dense-tail (B*T, 400, 400, 11, 64)
+        # shape that alone is 5 x 6.71G of HBM (the round-4 spconv8x train
+        # OOM's largest line item)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+             + bias.astype(x.dtype))
         return jnp.where(mask[..., None], y, 0.0)
 
 
@@ -194,6 +206,14 @@ def _batched_sparse_conv(feats, coords, ids, mask, shape, weights, kernel,
     out_shape = tuple((shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
                       for d in range(3))
     return (*out, out_shape)
+
+
+def _down_shape(shape, kernel, stride, padding):
+    """Static output grid of a strided conv — computed at the ladder level
+    because a remat boundary would arrayify a tuple returned by the block
+    (jax.checkpoint canonicalises every output leaf to an array)."""
+    return tuple((shape[d] + 2 * padding[d] - kernel[d]) // stride[d] + 1
+                 for d in range(3))
 
 
 def _cin_of(feats, mask):
@@ -480,6 +500,25 @@ class LidarBEVEncoder(nn.Module):
         cfg = self.cfg
         form = cfg.Z_FORMULATION
         win = cfg.WINFUSE_WINDOW if form == 'winfuse' else cfg.WINDOW_WIDTH
+
+        # Per-block remat (REMAT_LADDER): the model-wide remat treats the
+        # whole ladder as ONE checkpoint block, so its backward holds every
+        # stage's tap stacks + dense-tail activations across all B*T clouds
+        # at once — 84.3G vs 15.75G HBM at flagship scale (docs/PERF.md
+        # round 5).  Checkpointing each conv/block individually bounds the
+        # live set to one block's internals; tap stacks are recomputed from
+        # the (cheap, int32) column maps.  static_argnums: index 0 is the
+        # module itself; `train`/`shape`/sentinel-geo are hashable statics.
+        if cfg.REMAT_LADDER:
+            _Subm = nn.remat(SubMConvBNReLU, static_argnums=(4,))
+            _Block = nn.remat(SparseBasicBlock, static_argnums=(4,))
+            _BlockD = nn.remat(SparseBasicBlock, static_argnums=(3, 4))
+            _DownC = nn.remat(ColumnSparseConvBNReLU, static_argnums=(2, 3))
+            _DownD = nn.remat(DenseConvBNReLU, static_argnums=(3, 4))
+        else:
+            _Subm, _Block, _BlockD = (SubMConvBNReLU, SparseBasicBlock,
+                                      SparseBasicBlock)
+            _DownC, _DownD = ColumnSparseConvBNReLU, DenseConvBNReLU
         # perf-bisect knob: run only the first K pieces of the ladder
         # (0=entry, 1=conv_input+stage1, 2..4=through down_k+stage_{k+1},
         # 9=everything).  Debug/profiling only (tools/profile_column.py).
@@ -531,10 +570,9 @@ class LidarBEVEncoder(nn.Module):
         if trunc < 1:
             return early_out(cs, shape)
         geo = bmap(cs, shape[:2])
-        h = SubMConvBNReLU(cfg.BASE_CHANNELS, formulation=form,
-                           window=win,
-                           name='conv_input')(cs.feats, cs.zmask, geo,
-                                              train=train)
+        h = _Subm(cfg.BASE_CHANNELS, formulation=form,
+                  window=win,
+                  name='conv_input')(cs.feats, cs.zmask, geo, train)
         cs = cs._replace(feats=h)
 
         def enter_dense(cs, shape, c):
@@ -559,15 +597,18 @@ class LidarBEVEncoder(nn.Module):
                         return (early_out(cs, shape) if x is None
                                 else early_out_dense(x))
                     if x is not None:
-                        x, dmask, shape = DenseConvBNReLU(
+                        x, dmask, _ = _DownD(
                             ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
-                            name=f'down{i + 1}')(x, dmask, shape,
-                                                 train=train)
+                            name=f'down{i + 1}')(x, dmask, shape, train)
+                        shape = _down_shape(shape, (3, 3, 3), (2, 2, 2),
+                                            stage_paddings[i])
                     else:
-                        cs, shape = ColumnSparseConvBNReLU(
+                        cs, _ = _DownC(
                             ch, (3, 3, 3), (2, 2, 2), stage_paddings[i],
                             cap=cfg.COLUMN_CAPS[i + 1], formulation=form,
-                            name=f'down{i + 1}')(cs, shape, train=train)
+                            name=f'down{i + 1}')(cs, shape, train)
+                        shape = _down_shape(shape, (3, 3, 3), (2, 2, 2),
+                                            stage_paddings[i])
                         # at-cap = the strided site generation truncated its
                         # unique-output list: data was dropped this step
                         per_cloud = jnp.sum(cs.col_mask, axis=-1)
@@ -581,15 +622,15 @@ class LidarBEVEncoder(nn.Module):
                         geo = bmap(cs, shape[:2])
                 else:
                     if x is not None:
-                        h = SparseBasicBlock(
+                        h = _BlockD(
                             ch, name=f'stage{i + 1}_block{j}')(
-                            x, dmask, _DENSE, train=train)
+                            x, dmask, _DENSE, train)
                         x = h
                     else:
-                        h = SparseBasicBlock(
+                        h = _Block(
                             ch, formulation=form, window=win,
                             name=f'stage{i + 1}_block{j}')(
-                            cs.feats, cs.zmask, geo, train=train)
+                            cs.feats, cs.zmask, geo, train)
                         cs = cs._replace(feats=h)
                 prev_ch = ch
 
@@ -598,17 +639,19 @@ class LidarBEVEncoder(nn.Module):
         if dense_from and x is None:      # dense_from == 5: conv_out only
             x, dmask = enter_dense(cs, shape, prev_ch)
         if x is not None:
-            x, dmask, shape = DenseConvBNReLU(
+            x, dmask, _ = _DownD(
                 cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
-                name='conv_out')(x, dmask, shape, train=train)
+                name='conv_out')(x, dmask, shape, train)
+            shape = _down_shape(shape, (1, 1, 3), (1, 1, 2), (0, 0, 0))
             nx, ny, nz = shape
             dense = jnp.swapaxes(x, -1, -2).reshape(B, T, nx, ny, -1)
             return dense.astype(out_dtype)
 
-        cs, shape = ColumnSparseConvBNReLU(
+        cs, _ = _DownC(
             cfg.OUTPUT_CHANNELS, (1, 1, 3), (1, 1, 2), (0, 0, 0),
             cap=cfg.COLUMN_CAPS[-1], formulation=form,
-            name='conv_out')(cs, shape, train=train)
+            name='conv_out')(cs, shape, train)
+        shape = _down_shape(shape, (1, 1, 3), (1, 1, 2), (0, 0, 0))
 
         nx, ny, nz = shape
         dense = jax.vmap(lambda f, ci, cc, cm, zm: colops.to_dense_bev(

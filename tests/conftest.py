@@ -30,5 +30,7 @@ jax.config.update('jax_enable_x64', False)
 # Persistent compilation cache: the end-to-end train-step compiles are the
 # dominant test cost; cache them across runs.
 jax.config.update('jax_compilation_cache_dir',
-                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_test_cache'))
+                  os.environ.get('JAX_CACHE_DIR', os.path.join(
+                      os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      '.jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)

@@ -67,6 +67,45 @@ def main():
         print(f'    -> {fl2 / dt2 / 1e12:.1f} TFLOP/s effective '
               f'({fl2 / flops:.1f}x exact-3D FLOPs)')
 
+        # exact-FLOP z decomposition: conv3d = sum over dz of a (3,3,1)
+        # conv on the dz-shifted input.  Kernel z-extent 1 should ride
+        # XLA's 2D conv path (x/y spatial, z a free batch-like dim); pays
+        # 2 pad/slice shifts (full-tensor copies) + 2 adds.
+        def conv_zshift(x, w):
+            w5 = w  # (3, 3, 3, c, c) HWDIO
+            out = None
+            for dz in range(3):
+                xs = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+                xs = xs[:, :, :, dz:dz + nz, :]
+                y = jax.lax.conv_general_dilated(
+                    xs, w5[:, :, dz:dz + 1], (1, 1, 1),
+                    [(1, 1), (1, 1), (0, 0)],
+                    dimension_numbers=('NHWDC', 'HWDIO', 'NHWDC'),
+                    preferred_element_type=jnp.bfloat16)
+                out = y if out is None else out + y
+            return out
+
+        dt3 = chain_time(conv_zshift, (x, w),
+                         label=f'{grid[0]}^2x{nz}x{c} zshift 3x(3,3,1) conv')
+        print(f'    -> {flops / dt3 / 1e12:.1f} TFLOP/s effective (exact FLOPs)')
+
+        # same idea, one conv: concat the 3 z-shifts on channels -> one
+        # (3,3,1) conv at 3C input channels (better MXU K dim; pays a 3x
+        # input materialisation)
+        def conv_zcat(x, w):
+            xs = [jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+                  [:, :, :, dz:dz + nz, :] for dz in range(3)]
+            xc = jnp.concatenate(xs, axis=-1)
+            wc = jnp.concatenate([w[:, :, dz] for dz in range(3)], axis=2)
+            return jax.lax.conv_general_dilated(
+                xc, wc[:, :, None], (1, 1, 1), [(1, 1), (1, 1), (0, 0)],
+                dimension_numbers=('NHWDC', 'HWDIO', 'NHWDC'),
+                preferred_element_type=jnp.bfloat16)
+
+        dt4 = chain_time(conv_zcat, (x, w),
+                         label=f'{grid[0]}^2x{nz}x{c} zcat (3,3,1)@3C conv')
+        print(f'    -> {flops / dt4 / 1e12:.1f} TFLOP/s effective (exact FLOPs)')
+
         # strided downsample conv at the same shape
         wd = jnp.asarray(rng.standard_normal((3, 3, 3, c, 2 * c)) * 0.1,
                          jnp.bfloat16)
